@@ -1,0 +1,104 @@
+"""External contour extraction (pure NumPy/Python).
+
+Reproduces cv2.findContours(RETR_EXTERNAL, CHAIN_APPROX_NONE) semantics as
+used by the reference's character segmenter (reference preprocess.py:278-324):
+border following per Suzuki & Abe (1985) with the classic 8-neighbourhood
+chain-code walk — clockwise initial probe from WEST, counter-clockwise
+resumption — so the emitted point ORDER (including pixels revisited on
+1-px spurs) matches the canonical implementation; downstream run-detection
+over the point sequence depends on that order.
+
+Contours are emitted one per 8-connected component, in raster order of each
+component's first pixel, as (N, 2) int arrays of (x, y) points.  Area is the
+shoelace polygon area over the point sequence (cv2.contourArea semantics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .components import label_components
+
+__all__ = ["find_external_contours", "contour_area"]
+
+# chain-code deltas, (dx, dy), counter-clockwise on screen (y down):
+# 0=E, 1=NE, 2=N, 3=NW, 4=W, 5=SW, 6=S, 7=SE
+_DELTAS = ((1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1))
+
+
+def _trace_border(fg: np.ndarray, start: tuple[int, int]) -> list[tuple[int, int]]:
+    """Follow the outer border of the component containing `start`
+    (which must be its raster-first pixel, so its W neighbour is background).
+    Returns the point sequence as (x, y) tuples."""
+    h, w = fg.shape
+    y0, x0 = start
+
+    def at(x: int, y: int) -> bool:
+        return 0 <= x < w and 0 <= y < h and fg[y, x]
+
+    # initial probe: clockwise from WEST around the start pixel
+    s = s_end = 4
+    i1 = None
+    while True:
+        s = (s - 1) & 7
+        dx, dy = _DELTAS[s]
+        if at(x0 + dx, y0 + dy):
+            i1 = (x0 + dx, y0 + dy)
+            break
+        if s == s_end:
+            break
+    if i1 is None:
+        return [(x0, y0)]  # isolated pixel
+
+    pts: list[tuple[int, int]] = []
+    i3 = (x0, y0)
+    while True:
+        # counter-clockwise probe around i3, starting just past direction s
+        while True:
+            s += 1
+            dx, dy = _DELTAS[s & 7]
+            i4 = (i3[0] + dx, i3[1] + dy)
+            if at(*i4):
+                break
+        s &= 7
+        pts.append(i3)
+        if i4 == (x0, y0) and i3 == i1:
+            break
+        i3 = i4
+        s = (s + 4) & 7
+    return pts
+
+
+def find_external_contours(img: np.ndarray) -> list[np.ndarray]:
+    """All outer borders of 8-connected foreground components, raster order
+    of first pixels; each contour is an (N, 2) int64 array of (x, y)."""
+    n, labels, _ = label_components(img)
+    if n <= 1:
+        return []
+    fg = img != 0
+    contours: list[np.ndarray] = []
+    flat = labels.ravel()
+    w = img.shape[1]
+    seen = 0
+    first_idx = np.full(n, -1, dtype=np.int64)
+    for idx in np.flatnonzero(flat):
+        lbl = flat[idx]
+        if first_idx[lbl] < 0:
+            first_idx[lbl] = idx
+            seen += 1
+            if seen == n - 1:
+                break
+    for lbl in range(1, n):
+        idx = first_idx[lbl]
+        pts = _trace_border(fg, (int(idx // w), int(idx % w)))
+        contours.append(np.asarray(pts, dtype=np.int64))
+    return contours
+
+
+def contour_area(cnt: np.ndarray) -> float:
+    """Shoelace polygon area of the point sequence (cv2.contourArea)."""
+    if len(cnt) < 3:
+        return 0.0
+    x = cnt[:, 0].astype(np.float64)
+    y = cnt[:, 1].astype(np.float64)
+    return 0.5 * abs(float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))))
