@@ -1,0 +1,234 @@
+"""The batch extraction job: Spark plan around the pure-NumPy kernel.
+
+Plan shape (SURVEY.md §2.7/§4; the reference's serial file loop
+re-expressed as a DataFrame program, reference segment_words.py:234-277):
+
+    scan (Iceberg table or parquet; Catalyst pushes the column prune +
+          payload-bearing-row filter into the source)
+ -> salted chunk assignment: chunk = pmod(xxhash64(conv_id, salt), C)
+    where salt = pmod(xxhash64(turn_idx), S).  Turns are independent, so
+    salting splits a pathologically long conversation (hot conv_id) across
+    chunks; S is derived from a cheap skew sketch.  chunk is DETERMINISTIC
+    -> it is also the lineage/checkpoint key.
+ -> repartition(C, chunk): every chunk's rows colocate in one task
+ -> sortWithinPartitions(conv_id, turn_idx): stable turn ordering inside
+    each partition (the north rule's ordering guarantee)
+ -> mapInPandas(extract kernel): Arrow batches in, NumPy per payload,
+    classifier weights + templates broadcast ONCE per executor
+ -> checkpointed write: chunks are grouped into WAVES; each wave commits
+    its data directory atomically (parquet _SUCCESS; Iceberg snapshot on a
+    real catalog) and then appends its lineage rows (chunk, turn range,
+    rows, failures, wall time).  A killed run resumes by reading the
+    lineage table and recomputing only waves without lineage; a wave whose
+    data committed but whose lineage write was lost is overwritten
+    idempotently (deterministic wave -> path mapping).
+
+At 100 TB: C is sized so a chunk's payload bytes fit one task comfortably
+(e.g. 2-8 GB/chunk -> C in the tens of thousands), waves bound the blast
+radius of a failure, and the only shuffle in the whole job is the single
+repartition by chunk — the kernel itself is map-only.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+
+from .kernel.classifier import CharModel
+from .kernel.pipeline import extract_page
+from .kernel.segmentation import TemplateSpec
+from .sources.codec import decode_payload
+
+__all__ = ["ExtractionJobConfig", "plan_extraction", "run_extraction", "read_lineage"]
+
+RESULT_SCHEMA = (
+    "conv_id string, turn_idx int, chunk int, part_id int, extracted_text string, "
+    "n_lines int, n_words int, ok boolean, err string, proc_us bigint"
+)
+
+LINEAGE_SCHEMA = (
+    "wave int, chunk int, rows_processed bigint, n_ok bigint, n_failed bigint, "
+    "turn_min int, turn_max int, conv_min string, conv_max string, "
+    "wall_us bigint, committed_at double"
+)
+
+
+@dataclass
+class ExtractionJobConfig:
+    num_chunks: int = 64
+    num_waves: int = 4
+    salt_buckets: int = 16          # S; >= max(1, hottest_conv_rows / target_rows_per_chunk)
+    model_path: str | None = None
+    payload_roles: tuple = ()       # optional role filter pushed into the scan
+    require_payload: bool = True    # filter text != '' at the scan
+
+
+def _make_kernel(model_bc, templates_bc):
+    """Returns the mapInPandas function.  The broadcast values deserialize
+    once per executor (Spark broadcast semantics) — the reference reloads
+    its 1.4 MB model JSON per image and its template PNGs per contour; here
+    both cross the wire exactly once per executor."""
+
+    def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        model: CharModel = model_bc.value
+        templates: list[TemplateSpec] = templates_bc.value
+        part_id = TaskContext.get().partitionId() if TaskContext.get() else -1
+        for pdf in batches:
+            n = len(pdf)
+            texts = pdf["text"].tolist()
+            out = {
+                "conv_id": pdf["conv_id"].tolist(),
+                "turn_idx": pdf["turn_idx"].tolist(),
+                "chunk": pdf["chunk"].tolist(),
+                "part_id": [part_id] * n,
+                "extracted_text": [""] * n,
+                "n_lines": [0] * n,
+                "n_words": [0] * n,
+                "ok": [False] * n,
+                "err": [""] * n,
+                "proc_us": [0] * n,
+            }
+            for i in range(n):
+                t0 = time.perf_counter()
+                res = extract_page(decode_payload(texts[i]), model, templates)
+                out["extracted_text"][i] = res.text
+                out["n_lines"][i] = res.n_lines
+                out["n_words"][i] = res.n_words
+                out["ok"][i] = res.ok
+                out["err"][i] = res.err
+                out["proc_us"][i] = int((time.perf_counter() - t0) * 1e6)
+            yield pd.DataFrame(out)
+
+    return extract_batches
+
+
+def plan_extraction(spark, df, cfg: ExtractionJobConfig, model: CharModel | None = None,
+                    templates: list[TemplateSpec] | None = None):
+    """Builds the extraction DataFrame (no side effects; one shuffle)."""
+    from pyspark.sql import functions as F
+
+    model = model or CharModel.load(cfg.model_path)
+    model_bc = spark.sparkContext.broadcast(model)
+    templates_bc = spark.sparkContext.broadcast(templates or [])
+
+    cols = df.select("conv_id", "turn_idx", "text")
+    if cfg.payload_roles:
+        cols = df.filter(F.col("role").isin(*cfg.payload_roles)).select("conv_id", "turn_idx", "text")
+
+    salted = cols.withColumn(
+        "chunk",
+        F.pmod(
+            F.xxhash64(F.col("conv_id"), F.pmod(F.xxhash64(F.col("turn_idx")), F.lit(cfg.salt_buckets))),
+            F.lit(cfg.num_chunks),
+        ).cast("int"),
+    )
+    partitioned = salted.repartition(cfg.num_chunks, F.col("chunk")).sortWithinPartitions(
+        "conv_id", "turn_idx"
+    )
+    return partitioned.mapInPandas(_make_kernel(model_bc, templates_bc), schema=RESULT_SCHEMA)
+
+
+def _wave_of(chunk_col, num_waves: int):
+    from pyspark.sql import functions as F
+
+    return F.pmod(chunk_col, F.lit(num_waves)).cast("int")
+
+
+def read_lineage(spark, output_dir: str):
+    """All committed lineage rows, or None when no wave has committed."""
+    paths = sorted(glob.glob(os.path.join(output_dir, "lineage", "wave=*")))
+    done = [p for p in paths if os.path.exists(os.path.join(p, "_SUCCESS"))]
+    if not done:
+        return None
+    df = spark.read.schema(LINEAGE_SCHEMA).parquet(*done)
+    return df
+
+
+def run_extraction(
+    spark,
+    input_path: str,
+    output_dir: str,
+    cfg: ExtractionJobConfig | None = None,
+    model: CharModel | None = None,
+    templates: list[TemplateSpec] | None = None,
+    fail_after_wave: int | None = None,
+) -> dict:
+    """Execute the job in resumable waves.  Returns run stats.
+
+    fail_after_wave: test hook — raise after committing that many waves
+    (simulates a mid-run kill for the resume test).
+    """
+    from pyspark.sql import functions as F
+
+    cfg = cfg or ExtractionJobConfig()
+    df = spark.read.parquet(input_path)
+    if cfg.require_payload:
+        df = df.filter(F.col("text") != "")
+
+    result = plan_extraction(spark, df, cfg, model=model, templates=templates)
+    result = result.withColumn("wave", _wave_of(F.col("chunk"), cfg.num_waves))
+
+    lineage = read_lineage(spark, output_dir)
+    done_waves: set[int] = set()
+    if lineage is not None:
+        done_waves = {r.wave for r in lineage.select("wave").distinct().collect()}
+
+    waves_run = 0
+    rows_written = 0
+    t_start = time.time()
+    for wave in range(cfg.num_waves):
+        data_dir = os.path.join(output_dir, "data", f"wave={wave}")
+        lin_dir = os.path.join(output_dir, "lineage", f"wave={wave}")
+        if wave in done_waves:
+            continue
+        # data committed but lineage lost -> idempotent overwrite
+        if os.path.exists(data_dir):
+            shutil.rmtree(data_dir, ignore_errors=True)
+
+        wave_df = result.filter(F.col("wave") == wave).drop("wave")
+        wave_df.write.mode("overwrite").parquet(data_dir)
+
+        # lineage derived from the COMMITTED files (read-back of the tiny
+        # metric columns only -> column-pruned scan), so lineage can never
+        # claim rows that did not commit
+        written = spark.read.parquet(data_dir)
+        lin = (
+            written.groupBy("chunk")
+            .agg(
+                F.count("*").alias("rows_processed"),
+                F.sum(F.col("ok").cast("long")).alias("n_ok"),
+                F.sum((~F.col("ok")).cast("long")).alias("n_failed"),
+                F.min("turn_idx").alias("turn_min"),
+                F.max("turn_idx").alias("turn_max"),
+                F.min("conv_id").alias("conv_min"),
+                F.max("conv_id").alias("conv_max"),
+                F.sum("proc_us").alias("wall_us"),
+            )
+            .withColumn("wave", F.lit(wave))
+            .withColumn("committed_at", F.lit(time.time()))
+            .select(
+                "wave", "chunk", "rows_processed", "n_ok", "n_failed",
+                "turn_min", "turn_max", "conv_min", "conv_max", "wall_us", "committed_at",
+            )
+        )
+        lin.coalesce(1).write.mode("overwrite").parquet(lin_dir)
+        waves_run += 1
+        rows_written += written.count()
+        if fail_after_wave is not None and waves_run >= fail_after_wave:
+            raise RuntimeError(f"injected failure after wave {wave}")
+
+    return {
+        "waves_total": cfg.num_waves,
+        "waves_run": waves_run,
+        "waves_skipped": len(done_waves),
+        "rows_written": rows_written,
+        "wall_s": time.time() - t_start,
+    }

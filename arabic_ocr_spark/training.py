@@ -1,0 +1,190 @@
+"""Classifier training — serial bootstrap and distributed (Spark) variant.
+
+Reproduces the reference's training mechanism (reference integrator.py:
+102-160, segment_words.py:85-201): per word, extract feature vectors; reject
+the word unless the non-empty fv count matches the ground-truth char count;
+validate each char against its per-char predicate list; bucket accepted
+(char, fv) pairs by str(score) with set-dedup semantics.
+
+The reference accumulates the map serially across images, rewriting the JSON
+after every file.  Because accepted pairs form a SET (order-independent
+union), the distributed variant emits (score, char, fv) rows from a
+`mapInPandas` kernel, `dropDuplicates`, groups driver-side, and writes the
+artifact once — same result, any parallelism.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterable
+
+import numpy as np
+
+from .kernel.classifier import CharModel
+from .kernel.features import batch_get_feat_vectors
+from .kernel.pipeline import iter_words
+from .sources.glyphs import _GLYPH_DEFS, compose_text_image  # noqa: F401
+
+__all__ = ["validations_for", "validate_fv", "compare_and_assign", "train_serial", "build_model"]
+
+
+# ---------------------------------------------------------------------------
+# per-char validation predicates (the reference's table, integrator.py:46-99,
+# re-keyed to our alphabet from each glyph's declared dots)
+# ---------------------------------------------------------------------------
+
+def _has_no_dots(fv):
+    return fv[5] == 0
+
+
+def _has_dots(fv):
+    return fv[5] > 0
+
+
+def _has_n_dots(n):
+    return lambda fv: fv[5] == n
+
+
+def _dotted_top(fv):
+    return fv[4] == 1
+
+
+def _dotted_bottom(fv):
+    return fv[4] == 3
+
+
+def _has_score(fv):
+    return fv[0] != 0
+
+
+def _has_no_score(fv):
+    return fv[0] == 0
+
+
+def validations_for(label: str) -> list:
+    """Predicate list per glyph, derived from the alphabet definition."""
+    body, dots = _GLYPH_DEFS[label]
+    preds: list = []
+    if not dots:
+        preds.append(_has_no_dots)
+    for pos, count in dots:
+        preds.append(_has_dots)
+        preds.append(_dotted_top if pos == "above" else _dotted_bottom)
+    return preds
+
+
+def validate_fv(label: str, fv: list) -> bool:
+    return all(p(fv) for p in validations_for(label))
+
+
+def compare_and_assign(feat_vects: list[list], word_str: str, char_map: dict):
+    """Reference semantics (integrator.py:136-160): returns -1 when the
+    segment count mismatches the word length (word rejected); otherwise
+    mutates and returns char_map.  feat_vects is consumed reversed."""
+    if len(word_str) != sum(1 for fv in feat_vects if fv != []):
+        return -1
+    fvs = list(reversed(feat_vects))
+    for i, curr_char in enumerate(word_str):
+        if not validate_fv(curr_char, fvs[i]):
+            continue
+        score = str(fvs[i][0])
+        bucket = char_map.setdefault(score, [])
+        fc = [curr_char, [float(x) for x in fvs[i]]]
+        if fc not in bucket:
+            bucket.append(fc)
+    return char_map
+
+
+def train_words_for_alphabet(rng: np.random.Generator | None = None, n_random: int = 60) -> list[list[str]]:
+    """Deterministic training corpus: every glyph in isolation-context plus
+    randomized words (seeded) for context coverage."""
+    rng = rng or np.random.default_rng(42)
+    labels = list(_GLYPH_DEFS)
+    pages: list[list[str]] = []
+    for ch in labels:
+        pages.append([f"{ch * 3} {ch * 4}", f"{ch * 5}"])
+    for _ in range(n_random):
+        lines = []
+        for _l in range(int(rng.integers(1, 3))):
+            words = [
+                "".join(rng.choice(labels, size=int(rng.integers(3, 6))))
+                for _w in range(int(rng.integers(1, 3)))
+            ]
+            lines.append(" ".join(words))
+        pages.append(lines)
+    return pages
+
+
+def train_serial(pages: Iterable[list[str]] | None = None) -> tuple[dict, int, int]:
+    """Serial trainer over composed fixture pages.
+
+    Returns (raw char_map, rejected_words, total_words)."""
+    pages = pages if pages is not None else train_words_for_alphabet()
+    char_map: dict = {}
+    rejected = total = 0
+    for lines in pages:
+        gt_words = [w for ln in lines for w in ln.split()]
+        img, _ = compose_text_image(lines)
+        wi = 0
+        for word_img, cuts, _li in iter_words(img, skip_deskew=True):
+            fvs = batch_get_feat_vectors(word_img, cuts)
+            total += 1
+            if wi >= len(gt_words):
+                rejected += 1
+                continue
+            res = compare_and_assign(fvs, gt_words[wi], char_map)
+            if res == -1:
+                rejected += 1
+            wi += 1
+    return char_map, rejected, total
+
+
+def build_model(out_path: str | None = None) -> CharModel:
+    raw, rejected, total = train_serial()
+    model = CharModel.from_raw(raw)
+    if out_path:
+        model.save(out_path)
+    return model
+
+
+def train_spark(spark, pages: list[list[str]], out_path: str | None = None) -> CharModel:
+    """Distributed trainer: pages -> (score, char, fv) rows -> dropDuplicates
+    -> driver merge.  Set-union semantics make this order-independent and
+    identical to the serial result up to bucket-internal pair order (pairs
+    are sorted for a canonical artifact)."""
+    from pyspark.sql import Row, functions as F  # local import: kernel stays Spark-free
+
+    sc = spark.sparkContext
+
+    def emit(page_lines: list[str]):
+        gt_words = [w for ln in page_lines for w in ln.split()]
+        img, _ = compose_text_image(page_lines)
+        wi = 0
+        out = []
+        for word_img, cuts, _li in iter_words(img, skip_deskew=True):
+            fvs = batch_get_feat_vectors(word_img, cuts)
+            if wi < len(gt_words):
+                word = gt_words[wi]
+                if len(word) == sum(1 for fv in fvs if fv != []):
+                    rev = list(reversed(fvs))
+                    for i, ch in enumerate(word):
+                        if validate_fv(ch, rev[i]):
+                            out.append((int(rev[i][0]), ch, [float(x) for x in rev[i]]))
+            wi += 1
+        return out
+
+    rows = sc.parallelize(pages, max(2, min(len(pages), 64))).flatMap(emit)
+    df = spark.createDataFrame(rows.map(lambda t: Row(score=t[0], char=t[1], fv=t[2])))
+    pairs = (
+        df.withColumn("fv_key", F.concat_ws(",", F.col("fv").cast("array<string>")))
+        .dropDuplicates(["score", "char", "fv_key"])
+        .select("score", "char", "fv")
+        .collect()
+    )
+    raw: dict = {}
+    for r in sorted(pairs, key=lambda r: (r.score, r.char, r.fv)):
+        raw.setdefault(str(r.score), []).append([r.char, list(r.fv)])
+    model = CharModel.from_raw(raw)
+    if out_path:
+        model.save(out_path)
+    return model

@@ -1,0 +1,131 @@
+"""Spark end-to-end tests: per-turn equality vs the serial oracle, order
+stability, resume-from-lineage, and skew spreading (SURVEY.md §5)."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from arabic_ocr_spark.job import ExtractionJobConfig, read_lineage, run_extraction
+from arabic_ocr_spark.session import get_spark
+from arabic_ocr_spark.sources.synth import SynthConfig, default_model_path, synthesize
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def synth_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("synth"))
+    synthesize(d, SynthConfig(n_convs=30, pool_size=40, mean_turns=6, skew_factor=30, skew_conv="conv_000007"))
+    return d
+
+
+def _cfg(**kw):
+    base = dict(num_chunks=12, num_waves=3, model_path=default_model_path())
+    base.update(kw)
+    return ExtractionJobConfig(**base)
+
+
+def _read_out(spark, out_dir):
+    return spark.read.parquet(os.path.join(out_dir, "data"))
+
+
+def test_extraction_matches_oracle(spark, synth_dir, tmp_path):
+    out = str(tmp_path / "out")
+    stats = run_extraction(spark, f"{synth_dir}/transcripts.parquet", out, _cfg())
+    assert stats["waves_run"] == 3
+    result = _read_out(spark, out)
+    golden = spark.read.parquet(f"{synth_dir}/transcripts_golden.parquet")
+    j = result.join(golden, ["conv_id", "turn_idx"])
+    total = j.count()
+    assert total == result.count() > 0
+    mismatches = j.filter(F.col("extracted_text") != F.col("expected_text")).count()
+    assert mismatches == 0  # per-turn exact match rate == 1.0
+    # levenshtein-based accuracy (reference edit.py semantics) is exactly 1
+    acc = j.select(
+        F.avg(
+            F.greatest(
+                F.lit(0.0),
+                1
+                - F.levenshtein(
+                    F.regexp_replace("extracted_text", r"\s", ""),
+                    F.regexp_replace("expected_text", r"\s", ""),
+                )
+                / F.greatest(F.length(F.regexp_replace("expected_text", r"\s", "")), F.lit(1)),
+            )
+        ).alias("acc")
+    ).collect()[0]["acc"]
+    assert acc == 1.0
+
+
+def test_output_deterministic_across_runs(spark, synth_dir, tmp_path):
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    run_extraction(spark, f"{synth_dir}/transcripts.parquet", out1, _cfg())
+    run_extraction(spark, f"{synth_dir}/transcripts.parquet", out2, _cfg(num_waves=1))
+    a = _read_out(spark, out1).select("conv_id", "turn_idx", "extracted_text", "ok")
+    b = _read_out(spark, out2).select("conv_id", "turn_idx", "extracted_text", "ok")
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_resume_skips_committed_waves(spark, synth_dir, tmp_path):
+    out = str(tmp_path / "out")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_extraction(spark, f"{synth_dir}/transcripts.parquet", out, _cfg(), fail_after_wave=1)
+    lin1 = read_lineage(spark, out)
+    committed = {r.committed_at for r in lin1.select("committed_at").distinct().collect()}
+    assert lin1.select("wave").distinct().count() == 1
+
+    stats = run_extraction(spark, f"{synth_dir}/transcripts.parquet", out, _cfg())
+    assert stats["waves_skipped"] == 1 and stats["waves_run"] == 2
+    lin2 = read_lineage(spark, out)
+    # wave 0's lineage rows are untouched (same commit stamp -> not recomputed)
+    old = {r.committed_at for r in lin2.filter(F.col("wave").isin([w for w in range(3)][:1])).select("committed_at").distinct().collect()}
+    assert committed == old
+    # final output complete and oracle-equal
+    result = _read_out(spark, out)
+    golden = spark.read.parquet(f"{synth_dir}/transcripts_golden.parquet")
+    j = result.join(golden, ["conv_id", "turn_idx"])
+    assert j.filter(F.col("extracted_text") != F.col("expected_text")).count() == 0
+    # no duplicates
+    assert result.groupBy("conv_id", "turn_idx").count().filter("count > 1").count() == 0
+
+
+def test_partial_wave_dir_overwritten_idempotently(spark, synth_dir, tmp_path):
+    out = str(tmp_path / "out")
+    # simulate: wave data dir exists (partial/committed) but lineage missing
+    stats = run_extraction(spark, f"{synth_dir}/transcripts.parquet", out, _cfg())
+    shutil.rmtree(os.path.join(out, "lineage", "wave=1"))
+    stats2 = run_extraction(spark, f"{synth_dir}/transcripts.parquet", out, _cfg())
+    assert stats2["waves_skipped"] == 2 and stats2["waves_run"] == 1
+    result = _read_out(spark, out)
+    assert result.groupBy("conv_id", "turn_idx").count().filter("count > 1").count() == 0
+
+
+def test_salting_spreads_skewed_conversation(spark, synth_dir, tmp_path):
+    out = str(tmp_path / "out")
+    run_extraction(spark, f"{synth_dir}/transcripts.parquet", out, _cfg())
+    result = _read_out(spark, out)
+    hot = result.filter(F.col("conv_id") == "conv_000007")
+    n_hot = hot.count()
+    assert n_hot > 50  # the skewed conversation is big
+    spread = hot.select("chunk").distinct().count()
+    # salted chunking splits the hot conversation across many chunks
+    assert spread >= min(8, 12)
+    per_chunk = [r["count"] for r in hot.groupBy("chunk").count().collect()]
+    assert max(per_chunk) <= 3 * (n_hot / spread)  # no chunk hogs the conv
+
+
+def test_blank_and_failed_turns_accounted(spark, synth_dir, tmp_path):
+    out = str(tmp_path / "out")
+    run_extraction(spark, f"{synth_dir}/transcripts.parquet", out, _cfg())
+    inp = spark.read.parquet(f"{synth_dir}/transcripts.parquet")
+    n_payload = inp.filter(F.col("text") != "").count()
+    lin = read_lineage(spark, out)
+    assert lin.agg(F.sum("rows_processed")).collect()[0][0] == n_payload
