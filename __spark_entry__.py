@@ -1,38 +1,358 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship extraction over a deterministic transcripts
+  table synthesized next to sf0.001 (pool-rendered glyph payloads).
+- ``queries()``: one entry per implemented operator (SURVEY.md §2 + the
+  training-data pipeline operators).  Extraction/OCR queries are
+  non-SQL-expressible -> rows-only; everything else has a DuckDB oracle.
+- ``oracle_sql()``: ANSI-SQL twins, value-identical by construction
+  (portable primitives only: md5, regexp on explicit classes, list
+  comprehensions, round-to-fixed-decimals).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from arabic_ocr_spark.job import ExtractionJobConfig, plan_extraction
+from arabic_ocr_spark.kernel.classifier import CharModel
+from arabic_ocr_spark.operators.dedup import (
+    exact_dup_groups,
+    jaccard_verified_pairs,
+    lsh_candidate_pairs,
+    simhash,
+)
+from arabic_ocr_spark.operators.relational import events_hourly, orders_by_nation, pricing_summary
+from arabic_ocr_spark.operators.similarity import cosine_topk, lsh_ann_topk
+from arabic_ocr_spark.operators.textstats import (
+    LANG_MARKERS,
+    fingerprints,
+    lang_id,
+    quality_scores,
+    token_stats,
+)
+from arabic_ocr_spark.sources.synth import SynthConfig, default_model_path, synthesize
+
+_SYNTH_VERSION = "v1"
+_SYNTH_SIZES = {
+    "sf0.001": SynthConfig(n_convs=40, pool_size=100, mean_turns=6),
+    "sf0.01": SynthConfig(n_convs=120, pool_size=150, mean_turns=8),
+    "sf0.1": SynthConfig(n_convs=400, pool_size=250, mean_turns=10),
+}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def synth_dir_for(sf_dir: str) -> str:
+    """Deterministic synthesized transcripts cache for a testdata sf dir."""
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join("/tmp", "arabic_ocr_synth", f"{base}_{_SYNTH_VERSION}")
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        cfg = _SYNTH_SIZES.get(base, _SYNTH_SIZES["sf0.001"])
+        synthesize(out, cfg)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def _extraction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = synth_dir_for(sf_dir)
+    df = spark.read.parquet(os.path.join(d, "transcripts.parquet")).filter(F.col("text") != "")
+    cfg = ExtractionJobConfig(num_chunks=32, model_path=default_model_path())
+    return plan_extraction(spark, df, cfg, model=CharModel.load(default_model_path()))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-turn main-content extraction at sf0.001."""
+    return _extraction_plan(spark, "/root/testdata/sf0.001").select(
+        "conv_id", "turn_idx", "extracted_text", "n_lines", "n_words", "ok"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_extract_turns(spark, sf_dir):
+    return _extraction_plan(spark, sf_dir).select(
+        "conv_id", "turn_idx", "extracted_text", "n_lines", "n_words", "ok", "err"
+    )
+
+
+def _q_extract_eval(spark, sf_dir):
+    """Reference edit.py semantics: per-turn exact-match rate + mean
+    levenshtein accuracy on whitespace-stripped strings."""
+    d = synth_dir_for(sf_dir)
+    result = _extraction_plan(spark, sf_dir)
+    golden = spark.read.parquet(os.path.join(d, "transcripts_golden.parquet"))
+    j = result.join(golden, ["conv_id", "turn_idx"])
+    strip = lambda c: F.regexp_replace(c, r"\s", "")  # noqa: E731
+    return j.agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.round(F.avg((F.col("extracted_text") == F.col("expected_text")).cast("double")), 6).alias("exact_match_rate"),
+        F.round(
+            F.avg(
+                F.greatest(
+                    F.lit(0.0),
+                    1 - F.levenshtein(strip("extracted_text"), strip("expected_text"))
+                    / F.greatest(F.length(strip("expected_text")), F.lit(1)),
+                )
+            ),
+            6,
+        ).alias("lev_accuracy"),
+    )
+
+
+def _q_extract_lineage(spark, sf_dir):
+    """Per-chunk lineage aggregate (partition id, turn range, rows, failures)."""
+    r = _extraction_plan(spark, sf_dir)
+    return r.groupBy("chunk").agg(
+        F.count("*").cast("long").alias("rows_processed"),
+        F.sum(F.col("ok").cast("long")).alias("n_ok"),
+        F.min("turn_idx").cast("long").alias("turn_min"),
+        F.max("turn_idx").cast("long").alias("turn_max"),
+    )
+
+
+def _q_payload_meta(spark, sf_dir):
+    """Multimodal plumbing: decode payload envelope headers (height, width)
+    inside mapInPandas — the schema/batch path for opaque binary columns;
+    feature extraction beyond the header is a deliberate stub."""
+    import pandas as pd
+
+    from arabic_ocr_spark.sources.codec import decode_payload
+
+    d = synth_dir_for(sf_dir)
+    df = spark.read.parquet(os.path.join(d, "transcripts.parquet")).select("conv_id", "turn_idx", "text")
+
+    def meta(batches):
+        for pdf in batches:
+            h, w, valid = [], [], []
+            for t in pdf["text"]:
+                img = decode_payload(t)
+                if img is None:
+                    h.append(0); w.append(0); valid.append(False)
+                else:
+                    h.append(int(img.shape[0])); w.append(int(img.shape[1])); valid.append(True)
+            yield pd.DataFrame({
+                "conv_id": pdf["conv_id"], "turn_idx": pdf["turn_idx"],
+                "height": h, "width": w, "valid": valid,
+            })
+
+    return df.mapInPandas(meta, "conv_id string, turn_idx int, height int, width int, valid boolean")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # extraction engine (rows-only: the OCR kernel is not SQL-expressible)
+    q["extract_turns"] = _q_extract_turns
+    q["extract_eval"] = _q_extract_eval
+    q["extract_lineage"] = _q_extract_lineage
+    q["payload_meta"] = _q_payload_meta
+    q["ann_lsh_topk"] = lambda s, d: lsh_ann_topk(_t(s, d, "embeddings")).withColumn(
+        "rank", F.col("rank").cast("long"))
+
+    # oracle-backed operators
+    q["dedup_exact"] = lambda s, d: exact_dup_groups(_t(s, d, "documents"))
+    q["minhash_lsh_pairs"] = lambda s, d: lsh_candidate_pairs(_t(s, d, "documents"))
+    q["jaccard_pairs"] = lambda s, d: jaccard_verified_pairs(_t(s, d, "documents"))
+    q["simhash"] = lambda s, d: simhash(_t(s, d, "documents"))
+    q["token_stats"] = lambda s, d: token_stats(_t(s, d, "documents")).withColumn(
+        "n_tokens", F.col("n_tokens").cast("long"))
+    q["quality"] = lambda s, d: quality_scores(_t(s, d, "documents")).withColumn(
+        "n_chars_m", F.col("n_chars_m").cast("long")).withColumn(
+        "quality_ok", F.col("quality_ok").cast("long"))
+    q["lang_id"] = lambda s, d: lang_id(_t(s, d, "documents"))
+    q["fingerprint"] = lambda s, d: fingerprints(_t(s, d, "documents"))
+    q["cosine_topk"] = lambda s, d: cosine_topk(_t(s, d, "embeddings")).withColumn(
+        "rank", F.col("rank").cast("long"))
+    q["pricing_summary"] = lambda s, d: pricing_summary(_t(s, d, "lineitem"))
+    q["orders_by_nation"] = lambda s, d: orders_by_nation(
+        _t(s, d, "orders"), _t(s, d, "customer"), _t(s, d, "nation"))
+    q["events_hourly"] = lambda s, d: events_hourly(_t(s, d, "events")).withColumn(
+        "hour_s", F.date_format("hour", "yyyy-MM-dd HH:mm:ss")).drop("hour")
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — generated to mirror the Spark expressions exactly
+# ---------------------------------------------------------------------------
+
+def _sql_minhash_cte(k: int = 7, num_hashes: int = 8) -> str:
+    mh_cols = ",\n    ".join(
+        f"list_min([md5(s || ':{i}') for s in shingles]) AS mh_{i}" for i in range(num_hashes)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+    CASE WHEN length(text) >= {k}
+      THEN list_distinct([substring(text, g, {k}) for g in generate_series(1, length(text) - {k - 1})])
+      ELSE [text] END AS shingles
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+    {mh_cols},
+    shingles
+  FROM sh
+),
+buckets AS (
+  SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 AS band_key FROM sig
+  UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sig
+  UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sig
+  UNION ALL SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sig
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM buckets l JOIN buckets r
+    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+)
+"""
+
+
+def _sql_simhash(bits: int = 16) -> str:
+    terms = []
+    for b in range(bits):
+        nib = b // 4 + 1
+        shift = 2 ** (b % 4)
+        vote = (
+            f"list_sum([ (CAST(floor((instr('0123456789abcdef', substring(md5(t), {nib}, 1)) - 1) / {shift}) AS BIGINT) % 2) * 2 - 1 for t in toks])"
+        )
+        terms.append(f"CASE WHEN {vote} > 0 THEN {2 ** b} ELSE 0 END")
+    total = " + ".join(terms)
+    return f"""
+SELECT doc_id,
+  CAST(CASE WHEN len(toks) > 0 THEN {total} ELSE 0 END AS BIGINT) AS simhash
+FROM (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+  FROM documents
+)
+"""
+
+
+def _sql_lang_id() -> str:
+    score_exprs = []
+    for lang, markers in LANG_MARKERS.items():
+        parts = " + ".join(
+            f"(length(p) - length(replace(p, '{m}', ''))) / {len(m)}" for m in markers
+        )
+        score_exprs.append(f"round({parts}, 2) AS score_{lang}")
+    scores = ",\n  ".join(score_exprs)
+    return f"""
+WITH padded AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+s AS (
+  SELECT doc_id,
+  {scores}
+  FROM padded
+)
+SELECT doc_id, score_en, score_de, score_fr, score_es,
+  CASE
+    WHEN score_en > 0 AND score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+    WHEN score_de > 0 AND score_de >= score_fr AND score_de >= score_es THEN 'de'
+    WHEN score_fr > 0 AND score_fr >= score_es THEN 'fr'
+    WHEN score_es > 0 THEN 'es'
+    ELSE 'und' END AS lang_guess
+FROM s
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["dedup_exact"] = """
+SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+    sql["minhash_lsh_pairs"] = _sql_minhash_cte() + "SELECT doc_a, doc_b FROM cand"
+
+    sql["jaccard_pairs"] = _sql_minhash_cte() + """
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT c.doc_a, c.doc_b,
+    round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+  FROM cand c
+  JOIN sig a ON a.doc_id = c.doc_a
+  JOIN sig b ON b.doc_id = c.doc_b
+) WHERE jaccard >= 0.6
+"""
+
+    sql["simhash"] = _sql_simhash()
+
+    sql["token_stats"] = """
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  round(CASE WHEN len(toks) > 0 THEN CAST(list_sum([length(t) for t in toks]) AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS avg_token_len
+FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks FROM documents)
+"""
+
+    sql["quality"] = """
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_m,
+  round(CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 4) AS alpha_ratio,
+  round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 4) AS digit_ratio,
+  round(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / greatest(length(text), 1), 4) AS space_ratio,
+  CAST(CASE WHEN length(text) >= 20
+        AND round(CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 4) >= 0.5
+        AND round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 4) <= 0.3
+       THEN 1 ELSE 0 END AS BIGINT) AS quality_ok
+FROM documents
+"""
+
+    sql["lang_id"] = _sql_lang_id()
+
+    sql["fingerprint"] = """
+SELECT doc_id,
+  CASE WHEN length(text) < 8 THEN md5(text)
+       ELSE list_min([md5(substring(text, g, 8)) for g in generate_series(1, length(text) - 7)]) END AS fingerprint
+FROM documents
+"""
+
+    sql["cosine_topk"] = """
+WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qe FROM v WHERE vec_id < 5),
+sims AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+    round(list_dot_product(q.qe, v.emb)
+          / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(v.emb, v.emb))), 4) AS sim_r
+  FROM v, q WHERE v.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, sim_r, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id ASC) AS rank
+  FROM sims
+) WHERE rank <= 10
+"""
+
+    sql["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(avg(l_quantity), 4) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    sql["orders_by_nation"] = """
+SELECT n_name AS nation, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+    sql["events_hourly"] = """
+SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value,
+  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s
+FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+    return sql

@@ -1,0 +1,136 @@
+"""Deduplication operators: exact, MinHash+LSH (with exact-Jaccard verify),
+and SimHash — the standard near-dup ladder for web-scale corpus curation.
+
+Scale notes (100 TB):
+- exact dedup is one hash-aggregate: map-side partial agg + single shuffle
+  on a 32-char key; skew-free because md5 uniformly distributes keys;
+- MinHash signatures are computed WITHOUT exploding shingles to rows
+  (higher-order array functions inside the row) — the only shuffles are
+  the band-bucket self-join (on short band keys) and the final distinct;
+- candidate pairs are verified with exact Jaccard only within LSH buckets,
+  the standard bound on pair explosion;
+- hash family: min over md5(shingle || ':' || seed) as STRINGS — portable
+  bit-for-bit to any engine with md5 (the DuckDB oracle reproduces it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["exact_dup_groups", "minhash_signatures", "lsh_candidate_pairs", "jaccard_verified_pairs", "simhash"]
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """Group documents by content hash: (text_hash, n_copies, keep_doc_id).
+    Canonical keeper = smallest doc_id."""
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def _shingles(k: int):
+    """Distinct character k-gram shingle array of `text` (docs shorter than
+    k yield the whole text as the single shingle)."""
+    return F.when(
+        F.length("text") >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - (k - 1)),
+                lambda i: F.col("text").substr(i, F.lit(k)),
+            )
+        ),
+    ).otherwise(F.array(F.col("text")))
+
+
+def minhash_signatures(docs: DataFrame, k: int = 7, num_hashes: int = 8) -> DataFrame:
+    """(doc_id, mh_0..mh_{H-1}): per hash seed, the minimum md5(shingle:seed)
+    string over the shingle set."""
+    sh = _shingles(k).alias("shingles")
+
+    def mh(seed: int):
+        # NB: the lambda must take exactly ONE parameter — a second parameter
+        # would make pyspark bind the array index to it
+        suffix = F.lit(f":{seed}")
+        return F.array_min(F.transform(F.col("shingles"), lambda s: F.md5(F.concat(s, suffix))))
+
+    cols = [mh(i).alias(f"mh_{i}") for i in range(num_hashes)]
+    return docs.select("doc_id", sh).select("doc_id", *cols)
+
+
+def lsh_candidate_pairs(docs: DataFrame, k: int = 7, num_hashes: int = 8, band_size: int = 2) -> DataFrame:
+    """Near-duplicate candidate pairs (doc_a < doc_b) sharing at least one
+    LSH band.  Bands of `band_size` consecutive minhashes; the self-join is
+    on the concatenated band key."""
+    sigs = minhash_signatures(docs, k, num_hashes)
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        key = F.concat_ws("|", *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)])
+        bands.append(sigs.select("doc_id", F.lit(b).alias("band"), key.alias("band_key")))
+    buckets = bands[0]
+    for b in bands[1:]:
+        buckets = buckets.unionAll(b)
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verified_pairs(docs: DataFrame, k: int = 7, num_hashes: int = 8,
+                           band_size: int = 2, threshold: float = 0.6) -> DataFrame:
+    """Exact shingle-set Jaccard on the LSH candidates; keeps pairs with
+    J >= threshold.  (doc_a, doc_b, jaccard rounded to 4)."""
+    cands = lsh_candidate_pairs(docs, k, num_hashes, band_size)
+    sh = docs.select("doc_id", _shingles(k).alias("shingles"))
+    j = (
+        cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """Per-document SimHash over whitespace tokens: bit b of md5(token) votes
+    +1/-1; majority sets the bit.  Returns (doc_id, simhash).
+
+    Bit b lives in hex nibble b//4 (chars 1-based), bit position b%4 within
+    the nibble — an arithmetic-only derivation both Spark and DuckDB
+    evaluate identically."""
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    hexd = F.lit("0123456789abcdef")
+
+    def bit_vote(b: int):
+        nibble_char = lambda h: F.substring(h, b // 4 + 1, 1)  # noqa: E731
+        nibble_val = lambda h: F.instr(hexd, nibble_char(h)) - 1  # noqa: E731
+        bit = lambda h: F.floor(nibble_val(h) / (2 ** (b % 4))) % 2  # noqa: E731
+        vote = F.aggregate(
+            F.col("toks"),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + (bit(F.md5(t)) * 2 - 1),
+        )
+        return F.when(vote > 0, F.lit(2**b)).otherwise(F.lit(0))
+
+    total = bit_vote(0)
+    for b in range(1, bits):
+        total = total + bit_vote(b)
+    return docs.select("doc_id", F.col("text"), ).withColumn("toks", toks).select(
+        "doc_id", F.when(F.size("toks") > 0, total).otherwise(F.lit(0)).cast("long").alias("simhash")
+    )

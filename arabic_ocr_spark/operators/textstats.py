@@ -1,0 +1,113 @@
+"""Text analysis operators over the documents table.
+
+All computations use engine-portable primitives (regexp_replace on explicit
+character classes, fixed-marker substring counting, md5) so the DuckDB
+oracles in __spark_entry__ produce identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["token_stats", "quality_scores", "lang_id", "fingerprints", "LANG_MARKERS"]
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + average token length per document.
+
+    Token = maximal run of non-whitespace; empty/whitespace-only docs count
+    zero tokens.  JVM-side only: split + size + aggregate — at 100 TB this
+    is a map-only pass fused into the parquet scan."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.filter(toks, lambda t: t != F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.when(F.size(toks) > 0,
+                   F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double") / F.size(toks))
+            .otherwise(F.lit(0.0)),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Character-class composition ratios + a composite quality flag — the
+    classic pre-training quality heuristics (length, alpha/digit/punct
+    balance), as pure column expressions."""
+    n = F.length("text")
+    alpha = n - F.length(F.regexp_replace("text", "[A-Za-z]", ""))
+    digit = n - F.length(F.regexp_replace("text", "[0-9]", ""))
+    space = n - F.length(F.regexp_replace("text", " ", ""))
+    nz = F.greatest(n, F.lit(1))
+    alpha_r = F.round(alpha.cast("double") / nz, 4)
+    digit_r = F.round(digit.cast("double") / nz, 4)
+    space_r = F.round(space.cast("double") / nz, 4)
+    return docs.select(
+        "doc_id",
+        n.alias("n_chars_m"),
+        alpha_r.alias("alpha_ratio"),
+        digit_r.alias("digit_ratio"),
+        space_r.alias("space_ratio"),
+        (
+            (n >= 20) & (alpha_r >= 0.5) & (digit_r <= 0.3)
+        ).cast("int").alias("quality_ok"),
+    )
+
+
+# fixed marker substrings per language; counted by the replace-length trick
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+    "es": [" el ", " y ", " los "],
+}
+
+
+def _marker_count(col, marker: str):
+    return (F.length(col) - F.length(F.replace(col, F.lit(marker)))) / len(marker)
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-n-gram language ID: per language, count fixed marker substring
+    occurrences; highest score wins (fixed tie-break order en>de>fr>es>und)."""
+    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    scores = {
+        lang: sum(_marker_count(padded, m) for m in markers).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    df = docs.select("doc_id", *scores.values())
+    s = {lang: F.col(f"score_{lang}") for lang in LANG_MARKERS}
+    guess = (
+        F.when((s["en"] > 0) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), "en")
+        .when((s["de"] > 0) & (s["de"] >= s["fr"]) & (s["de"] >= s["es"]), "de")
+        .when((s["fr"] > 0) & (s["fr"] >= s["es"]), "fr")
+        .when(s["es"] > 0, "es")
+        .otherwise("und")
+    )
+    return df.select(
+        "doc_id",
+        *[F.round(s[lang], 2).alias(f"score_{lang}") for lang in LANG_MARKERS],
+        guess.alias("lang_guess"),
+    )
+
+
+def fingerprints(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Document fingerprint: lexicographic-min md5 over the k-gram shingle
+    set (a 1-hash MinHash — stable content signature for near-dup triage).
+    Documents shorter than k get the md5 of the whole text.
+
+    Shingling stays inside one higher-order-function expression (sequence +
+    transform + array_min), so no explode/shuffle: a map-only pass."""
+    short = F.length("text") < k
+    gram_mins = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - (k - 1)),
+            lambda i: F.md5(F.col("text").substr(i, F.lit(k))),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.when(short, F.md5("text")).otherwise(gram_mins).alias("fingerprint"),
+    )
