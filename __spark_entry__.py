@@ -36,11 +36,13 @@ from arabic_ocr_spark.operators.textstats import (
 )
 from arabic_ocr_spark.sources.synth import SynthConfig, default_model_path, synthesize
 
-_SYNTH_VERSION = "v1"
+_SYNTH_VERSION = "v2"
 _SYNTH_SIZES = {
     "sf0.001": SynthConfig(n_convs=40, pool_size=100, mean_turns=6),
     "sf0.01": SynthConfig(n_convs=120, pool_size=150, mean_turns=8),
-    "sf0.1": SynthConfig(n_convs=400, pool_size=250, mean_turns=10),
+    # bench scale: big enough that per-job fixed overhead (~5s: python
+    # worker spin-up, broadcast, scheduling) amortizes into the noise
+    "sf0.1": SynthConfig(n_convs=1200, pool_size=300, mean_turns=12),
 }
 
 
@@ -64,7 +66,8 @@ def synth_dir_for(sf_dir: str) -> str:
 def _extraction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = synth_dir_for(sf_dir)
     df = spark.read.parquet(os.path.join(d, "transcripts.parquet")).filter(F.col("text") != "")
-    cfg = ExtractionJobConfig(num_chunks=32, model_path=default_model_path())
+    # 128 chunks: ~4 task rounds at 32 cores so stragglers average out
+    cfg = ExtractionJobConfig(num_chunks=128, model_path=default_model_path())
     return plan_extraction(spark, df, cfg, model=CharModel.load(default_model_path()))
 
 

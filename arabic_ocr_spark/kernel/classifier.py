@@ -40,9 +40,26 @@ class CharModel:
         return cls(buckets)
 
     @classmethod
-    def load(cls, path: str) -> "CharModel":
-        with open(path, encoding="utf-8") as f:
-            return cls.from_raw(json.load(f))
+    def load(cls, path: str | None = None) -> "CharModel":
+        """Load from a filesystem path, or (path=None) from the packaged
+        default artifact — which also works when the package is imported
+        from a --py-files engine.zip."""
+        if path is None:
+            return cls.load_default()
+        try:
+            with open(path, encoding="utf-8") as f:
+                return cls.from_raw(json.load(f))
+        except (NotADirectoryError, FileNotFoundError):
+            if ".zip" in path:
+                return cls.load_default()
+            raise
+
+    @classmethod
+    def load_default(cls) -> "CharModel":
+        from importlib.resources import files
+
+        text = files("arabic_ocr_spark").joinpath("model/config_map.json").read_text(encoding="utf-8")
+        return cls.from_raw(json.loads(text))
 
     def to_raw(self) -> dict[str, list]:
         return {

@@ -29,76 +29,70 @@ def label_components(img: np.ndarray) -> tuple[int, np.ndarray, np.ndarray]:
     h, w = img.shape
     fg = img != 0
     labels = np.zeros((h, w), dtype=np.int32)
-    parent: list[int] = [0]  # union-find over provisional run labels
-    size: list[int] = [0]
+    if not fg.any():
+        return 1, labels, np.array([img.size], dtype=np.int64)
+
+    # one vectorized pass: runs over the row-padded flat image (the sentinel
+    # column breaks runs at row boundaries)
+    fgp = np.zeros((h, w + 1), dtype=np.int8)
+    fgp[:, :w] = fg
+    flat = fgp.ravel()
+    d = np.diff(flat, prepend=np.int8(0))
+    run_starts = np.flatnonzero(d == 1)
+    run_ends = np.flatnonzero(d == -1)  # exclusive; sentinel guarantees closure
+    wp = w + 1
+    rows = run_starts // wp
+    s_cols = run_starts % wp
+    e_cols = ((run_ends - 1) % wp) + 1
+
+    parent = np.arange(len(run_starts) + 1, dtype=np.int64)  # union-find over run ids (1-based)
 
     def find(x: int) -> int:
         while parent[x] != x:
             parent[x] = parent[parent[x]]
             x = parent[x]
-        return x
+        return int(x)
 
-    def union(a: int, b: int) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            if ra < rb:
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
+    prev_row = -2
+    prev_runs: list[tuple[int, int, int]] = []  # (s, e, run_id)
+    cur_runs: list[tuple[int, int, int]] = []
+    cur_row = -2
+    labels_flat = np.zeros(h * wp, dtype=np.int32)
+    for i in range(len(run_starts)):
+        y = int(rows[i])
+        if y != cur_row:
+            prev_runs, prev_row = (cur_runs, cur_row) if y == cur_row + 1 else ([], -2)
+            cur_runs, cur_row = [], y
+        s, e = int(s_cols[i]), int(e_cols[i])
+        rid = i + 1
+        if prev_row == y - 1:
+            for ps, pe, pr in prev_runs:
+                if ps < e + 1 and pe > s - 1:  # 8-conn overlap (extended by 1)
+                    ra, rb = find(rid), find(pr)
+                    if ra != rb:
+                        if ra < rb:
+                            parent[rb] = ra
+                        else:
+                            parent[ra] = rb
+        labels_flat[run_starts[i]:run_ends[i]] = rid
+        cur_runs.append((s, e, rid))
 
-    prev_runs: list[tuple[int, int, int]] = []  # (start, end_excl, label)
-    for y in range(h):
-        row = fg[y]
-        if not row.any():
-            prev_runs = []
-            continue
-        d = np.diff(np.concatenate(([0], row.view(np.int8), [0])))
-        starts = np.flatnonzero(d == 1)
-        ends = np.flatnonzero(d == -1)
-        cur_runs: list[tuple[int, int, int]] = []
-        for s, e in zip(starts, ends):
-            lbl = 0
-            # 8-connectivity: overlap with previous-row runs extended by 1
-            for ps, pe, pl in prev_runs:
-                if ps < e + 1 and pe > s - 1:
-                    if lbl == 0:
-                        lbl = pl
-                    else:
-                        union(lbl, pl)
-            if lbl == 0:
-                lbl = len(parent)
-                parent.append(lbl)
-                size.append(0)
-            labels[y, s:e] = lbl
-            size[lbl] += e - s
-            cur_runs.append((int(s), int(e), lbl))
-        prev_runs = cur_runs
-
-    if len(parent) == 1:
-        return 1, labels, np.array([img.size], dtype=np.int64)
-
-    # resolve roots; relabel in raster order of first encounter
-    roots = np.array([find(i) for i in range(len(parent))], dtype=np.int32)
-    remap = np.zeros(len(parent), dtype=np.int32)
+    n_runs = len(run_starts)
+    roots = np.array([find(i) for i in range(n_runs + 1)], dtype=np.int64)
+    # relabel roots in raster order of first encounter (runs are raster-ordered)
+    remap = np.zeros(n_runs + 1, dtype=np.int32)
+    run_len = (run_ends - run_starts).astype(np.int64)
     next_label = 1
-    flat = labels.ravel()
-    order = np.flatnonzero(flat)  # raster order of foreground pixels
-    for idx in order:
-        r = roots[flat[idx]]
+    for i in range(n_runs):
+        r = roots[i + 1]
         if remap[r] == 0:
             remap[r] = next_label
             next_label += 1
-    final = np.zeros_like(flat)
-    final[order] = remap[roots[flat[order]]]
-    labels = final.reshape(h, w)
+    lut = remap[roots]
+    labels = lut[labels_flat].reshape(h, wp)[:, :w]
 
     sizes = np.zeros(next_label, dtype=np.int64)
-    root_sizes: dict[int, int] = {}
-    for lbl in range(1, len(parent)):
-        r = int(roots[lbl])
-        root_sizes[r] = root_sizes.get(r, 0) + size[lbl]
-    for r, s in root_sizes.items():
-        sizes[remap[r]] = s
+    np.add.at(sizes, lut[np.arange(1, n_runs + 1)], run_len)
     sizes[0] = img.size - sizes[1:].sum()
     return next_label, labels, sizes
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .components import remove_dots, split_largest_component
+from .components import label_components, largest_label, split_largest_component
 
 __all__ = [
     "vertical_transitions",
@@ -153,11 +153,20 @@ def _is_3_dots_connected(dots_img: np.ndarray) -> bool:
     return bool(np.max(horizontal_transitions(dots_img)) >= 4)
 
 
-def recognize_dots(char_img: np.ndarray) -> tuple[int, int, int]:
+def recognize_dots(char_img: np.ndarray, _labeled=None) -> tuple[int, int, int]:
     """(position, exists, n_dots) of the diacritics: position 1=top / 2=mid /
     3=bottom by comparing extremal nonzero rows of the full char vs the
-    dots-only label image; hamza -> 5 labels, connected 3-dots -> 4."""
-    dots_img, max_label = split_largest_component(char_img)
+    dots-only label image; hamza -> 5 labels, connected 3-dots -> 4.
+
+    _labeled: optional precomputed (n, labels, sizes, body_label) so the
+    caller can share one labeling pass (identical semantics)."""
+    if _labeled is None:
+        dots_img, max_label = split_largest_component(char_img)
+    else:
+        n, labels, sizes, body = _labeled
+        dots_img = labels.copy()
+        dots_img[dots_img == body] = 0
+        max_label = body
     max_label = int(max(np.max(dots_img), max_label))
     if max_label == 1:
         return -1, 0, 0
@@ -190,7 +199,13 @@ def recognize_char(char_img: np.ndarray) -> list:
     over-segmentation).  May raise on all-background segments (the caller's
     try/except treats that as rejection too)."""
     img_dotted = char_img.copy()
-    char_img = add_extra_padding(remove_dots(char_img))  # IndexError on empty, by design
+    # single labeling pass shared by the dots-removal and dots-recognition
+    # stages (the reference labels the same image twice)
+    n_l, labels, sizes = label_components(char_img)
+    body = largest_label(sizes, n_l)  # IndexError on empty, by design
+    dotless = np.zeros(labels.shape)
+    dotless[labels == body] = 255
+    char_img = add_extra_padding(dotless.astype(np.uint8))
 
     horz_transitions = horizontal_transitions(char_img)
     ver_transitions = vertical_transitions(char_img)
@@ -242,7 +257,7 @@ def recognize_char(char_img: np.ndarray) -> list:
     except IndexError:
         return []
 
-    pospunc, expunc, numpunc = recognize_dots(img_dotted)
+    pospunc, expunc, numpunc = recognize_dots(img_dotted, _labeled=(n_l, labels, sizes, body))
     hmax = np.max(horz_transitions)
     vmax = np.max(ver_transitions)
     if hmax < 4:

@@ -156,9 +156,18 @@ def deskew(image: np.ndarray) -> np.ndarray:
     """Reference deskew semantics (preprocess.py:33-51): estimate the skew
     angle from the min-area rect over (row, col) coords of foreground pixels,
     fold into (-45, 45], rotate about the centre with bicubic sampling."""
-    coords = np.column_stack(np.nonzero(image > 0)).astype(np.float64)
-    if len(coords) == 0:
+    fg = image > 0
+    if not fg.any():
         return image.copy()
+    # hull-candidate reduction: the min-area rect depends only on the convex
+    # hull, and the hull of (row, col) points only ever uses each row's
+    # extreme columns — O(H) candidates instead of O(ink pixels)
+    rows = np.flatnonzero(fg.any(axis=1))
+    first = np.argmax(fg[rows], axis=1)
+    last = image.shape[1] - 1 - np.argmax(fg[rows][:, ::-1], axis=1)
+    coords = np.concatenate(
+        [np.column_stack([rows, first]), np.column_stack([rows, last])]
+    ).astype(np.float64)
     angle = min_area_rect_angle(coords)
     if angle < -45:
         angle = -(90 + angle)

@@ -45,17 +45,20 @@ def _shingles(k: int):
 
 def minhash_signatures(docs: DataFrame, k: int = 7, num_hashes: int = 8) -> DataFrame:
     """(doc_id, mh_0..mh_{H-1}): per hash seed, the minimum md5(shingle:seed)
-    string over the shingle set."""
-    sh = _shingles(k).alias("shingles")
+    string over the shingle set.
 
-    def mh(seed: int):
-        # NB: the lambda must take exactly ONE parameter — a second parameter
-        # would make pyspark bind the array index to it
-        suffix = F.lit(f":{seed}")
-        return F.array_min(F.transform(F.col("shingles"), lambda s: F.md5(F.concat(s, suffix))))
-
-    cols = [mh(i).alias(f"mh_{i}") for i in range(num_hashes)]
-    return docs.select("doc_id", sh).select("doc_id", *cols)
+    Formulated as explode -> groupBy(doc_id) with H min() aggregates:
+    shingles are constructed exactly once per document (Catalyst's
+    projection collapsing would otherwise re-inline the shingle expression
+    into every hash column), and the H mins partial-aggregate map-side, so
+    the shuffle carries one row per doc per mapper — the formulation that
+    survives 100 TB."""
+    exploded = docs.select("doc_id", F.explode(_shingles(k)).alias("s"))
+    aggs = [
+        F.min(F.md5(F.concat(F.col("s"), F.lit(f":{i}")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(docs: DataFrame, k: int = 7, num_hashes: int = 8, band_size: int = 2) -> DataFrame:
@@ -64,13 +67,16 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = 7, num_hashes: int = 8, band_s
     on the concatenated band key."""
     sigs = minhash_signatures(docs, k, num_hashes)
     n_bands = num_hashes // band_size
-    bands = []
-    for b in range(n_bands):
-        key = F.concat_ws("|", *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)])
-        bands.append(sigs.select("doc_id", F.lit(b).alias("band"), key.alias("band_key")))
-    buckets = bands[0]
-    for b in bands[1:]:
-        buckets = buckets.unionAll(b)
+    # one posexplode instead of a union of per-band selects: the signature
+    # chain (shingling + H md5-min scans) is computed ONCE per doc, not once
+    # per band branch
+    band_keys = F.array(
+        *[
+            F.concat_ws("|", *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)])
+            for b in range(n_bands)
+        ]
+    )
+    buckets = sigs.select("doc_id", F.posexplode(band_keys).alias("band", "band_key"))
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
@@ -86,11 +92,20 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = 7, num_hashes: int = 8, band_s
 
 
 def jaccard_verified_pairs(docs: DataFrame, k: int = 7, num_hashes: int = 8,
-                           band_size: int = 2, threshold: float = 0.6) -> DataFrame:
+                           band_size: int = 2, threshold: float = 0.6,
+                           broadcast_shingles: bool = True) -> DataFrame:
     """Exact shingle-set Jaccard on the LSH candidates; keeps pairs with
-    J >= threshold.  (doc_a, doc_b, jaccard rounded to 4)."""
+    J >= threshold.  (doc_a, doc_b, jaccard rounded to 4).
+
+    broadcast_shingles: the shingle table has |docs| rows vs the candidate
+    join's |pairs| fan-out, so broadcasting it avoids shuffling string
+    arrays twice.  At corpus sizes where shingles exceed executor memory,
+    pass False to fall back to shuffle joins (pairs are then the small
+    side: candidates should be semi-join-reduced first at 100 TB)."""
     cands = lsh_candidate_pairs(docs, k, num_hashes, band_size)
     sh = docs.select("doc_id", _shingles(k).alias("shingles"))
+    if broadcast_shingles:
+        sh = F.broadcast(sh)
     j = (
         cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")

@@ -1,0 +1,97 @@
+"""Structured Streaming variants of the engine's two workloads.
+
+1. Streaming extraction (`run_streaming_extraction`): the transcripts table
+   as an append-only file stream -> the SAME batch plan (salted chunk,
+   repartition, sortWithinPartitions, mapInPandas kernel) applied per
+   micro-batch via foreachBatch.  Each micro-batch writes an idempotent
+   `batch=<id>` data directory plus lineage rows, and Spark's streaming
+   checkpoint guarantees a killed stream resumes at the first uncommitted
+   batch — the streaming twin of the batch job's wave checkpointing.
+   (sortWithinPartitions is not allowed on an unbounded stream; inside
+   foreachBatch the micro-batch is a bounded DataFrame, so the full batch
+   plan applies unchanged.)
+
+2. Streaming analytics (`streaming_events_hourly`): watermarked tumbling-
+   window rollup over an events stream — late rows beyond the watermark are
+   dropped, state is bounded by the window + watermark horizon.
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..job import ExtractionJobConfig, plan_extraction
+from ..kernel.classifier import CharModel
+
+__all__ = ["run_streaming_extraction", "streaming_events_hourly"]
+
+TRANSCRIPTS_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+def run_streaming_extraction(
+    spark,
+    input_dir: str,
+    output_dir: str,
+    cfg: ExtractionJobConfig | None = None,
+    model: CharModel | None = None,
+    available_now: bool = True,
+):
+    """Start (and, with available_now, drain) the streaming extraction.
+    Returns the StreamingQuery."""
+    from pyspark.sql import functions as F
+
+    cfg = cfg or ExtractionJobConfig()
+    model = model or CharModel.load(cfg.model_path)
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df, batch_id: int):
+        df = batch_df.filter(F.col("text") != "") if cfg.require_payload else batch_df
+        result = plan_extraction(df.sparkSession, df, cfg, model=model)
+        data_dir = os.path.join(output_dir, "data", f"batch={batch_id}")
+        result.write.mode("overwrite").parquet(data_dir)  # idempotent per batch id
+        written = df.sparkSession.read.parquet(data_dir)
+        lin = (
+            written.groupBy("chunk")
+            .agg(
+                F.count("*").alias("rows_processed"),
+                F.sum(F.col("ok").cast("long")).alias("n_ok"),
+                F.sum((~F.col("ok")).cast("long")).alias("n_failed"),
+                F.min("turn_idx").alias("turn_min"),
+                F.max("turn_idx").alias("turn_max"),
+                F.sum("proc_us").alias("wall_us"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        lin.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(output_dir, "lineage", f"batch={batch_id}")
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(output_dir, "_checkpoint"))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
+def streaming_events_hourly(events_stream, watermark: str = "2 hours"):
+    """Watermarked tumbling 1-hour rollup (append-mode compatible)."""
+    from pyspark.sql import functions as F
+
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))  # watermark needs TZ timestamps
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("win.start").alias("hour"), "event_type", "n_events", "sum_value")
+    )

@@ -1,0 +1,90 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": ..., "value": ..., "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline = the extraction engine (turns/sec over the synthesized transcripts
+table for this sf), plus the operator suite.  Scaling evidence across two
+parallelism levels lives in tools/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(min(32, os.cpu_count() or 8))))
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or "0.1"
+
+    import __spark_entry__ as entry
+    from arabic_ocr_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=max(16, 2 * cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # make sure the synth cache is built before timing anything
+    synth_dir = entry.synth_dir_for(sf_dir)
+    n_turns = spark.read.parquet(os.path.join(synth_dir, "transcripts.parquet")).filter(
+        "text <> ''"
+    ).count()
+
+    qs = entry.queries()
+    # warmup outside every timed window: JVM codegen, python workers,
+    # broadcast deserialization
+    qs["extract_turns"](spark, sf_dir).limit(16 * cpus).count()
+    qs["token_stats"](spark, sf_dir).count()
+
+    bench_queries = [
+        "extract_turns",
+        "extract_eval",
+        "dedup_exact",
+        "minhash_lsh_pairs",
+        "jaccard_pairs",
+        "simhash",
+        "token_stats",
+        "quality",
+        "lang_id",
+        "fingerprint",
+        "cosine_topk",
+        "ann_lsh_topk",
+        "pricing_summary",
+        "orders_by_nation",
+        "events_hourly",
+    ]
+
+    timings: dict[str, float] = {}
+    extract_sec = None
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        n = qs[name](spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        if name == "extract_turns":
+            extract_sec = dt
+        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        "extract_turns": n_turns,
+        "extract_turns_per_sec": round(n_turns / extract_sec, 1) if extract_sec else None,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

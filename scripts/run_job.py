@@ -1,0 +1,63 @@
+"""spark-submit entry point for the batch extraction job.
+
+Cluster:
+    python tools/package.py                      # builds dist/engine.zip
+    spark-submit --master <cluster> \
+        --py-files dist/engine.zip \
+        scripts/run_job.py \
+        --input  <transcripts parquet/Iceberg path> \
+        --output <output dir> \
+        --model  <config_map.json> \
+        --chunks 20000 --waves 64 --salt 64
+
+Sandbox smoke:
+    spark-submit --master local[8] --py-files dist/engine.zip \
+        scripts/run_job.py --input /tmp/synth/transcripts.parquet \
+        --output /tmp/out --streaming false
+
+The model JSON must be reachable from the driver (ship with --files or a
+shared filesystem); it is broadcast from the driver, never read on
+executors.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--model", default=None)
+    ap.add_argument("--chunks", type=int, default=256)
+    ap.add_argument("--waves", type=int, default=8)
+    ap.add_argument("--salt", type=int, default=16)
+    ap.add_argument("--streaming", default="false")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from arabic_ocr_spark.job import ExtractionJobConfig, run_extraction
+    from arabic_ocr_spark.sources.synth import default_model_path
+    from arabic_ocr_spark.streaming.stream_job import run_streaming_extraction
+
+    spark = SparkSession.builder.appName("arabic-ocr-extract").getOrCreate()
+    cfg = ExtractionJobConfig(
+        num_chunks=args.chunks,
+        num_waves=args.waves,
+        salt_buckets=args.salt,
+        model_path=args.model or default_model_path(),
+    )
+    if args.streaming.lower() == "true":
+        run_streaming_extraction(spark, args.input, args.output, cfg)
+        print(json.dumps({"mode": "streaming", "output": args.output}))
+    else:
+        stats = run_extraction(spark, args.input, args.output, cfg)
+        print(json.dumps({"mode": "batch", **stats}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -13,13 +13,6 @@ from arabic_ocr_spark.sources.synth import SynthConfig, default_model_path, synt
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark(master="local[4]", shuffle_partitions=8)
-    yield s
-    s.stop()
-
-
-@pytest.fixture(scope="session")
 def synth_dir(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("synth"))
     synthesize(d, SynthConfig(n_convs=30, pool_size=40, mean_turns=6, skew_factor=30, skew_conv="conv_000007"))
