@@ -95,6 +95,17 @@ def compare_and_assign(feat_vects: list[list], word_str: str, char_map: dict):
     return char_map
 
 
+def normalize_ground_truth(line: str) -> list[str]:
+    """Ground-truth text normalization (reference integrator.py:4-15):
+    collapse runs of spaces, strip newlines, map the lam-alef ligature to
+    its sentinel, split on single spaces, drop empties."""
+    while "  " in line:
+        line = line.replace("  ", " ")
+    line = line.replace("\n", "")
+    line = line.replace("لا", "L")
+    return [w for w in line.split(" ") if w != ""]
+
+
 def train_words_for_alphabet(rng: np.random.Generator | None = None, n_random: int = 60) -> list[list[str]]:
     """Deterministic training corpus: every glyph in isolation-context plus
     randomized words (seeded) for context coverage."""

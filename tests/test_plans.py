@@ -1,0 +1,67 @@
+"""Physical-plan property tests (PLANS.md): pruning, pushdown, broadcast,
+and shuffle count are load-bearing at scale — pin them."""
+
+import pytest
+
+
+import re
+
+
+def _formatted(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _tree_count(plan: str, node: str) -> int:
+    """Count node occurrences in the plan TREE (formatted mode repeats each
+    node in the details section)."""
+    return len(re.findall(rf"[+:]- {node}", plan))
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    import __spark_entry__ as e
+
+    return e
+
+
+def test_extraction_plan_prunes_and_single_shuffle(spark, entry_mod):
+    plan = _formatted(spark, entry_mod._extraction_plan(spark, "/root/testdata/sf0.001"))
+    # column pruning reaches the scan: only the 3 needed columns are read
+    assert "ReadSchema: struct<conv_id:string,turn_idx:int,text:string>" in plan
+    # payload-present filter pushed into the parquet reader
+    assert "PushedFilters: [IsNotNull(text)" in plan
+    # exactly one shuffle: the salted repartition
+    assert _tree_count(plan, "Exchange") == 1
+    assert "MapInPandas" in plan and "Sort" in plan
+
+
+def test_dim_joins_are_broadcast(spark, entry_mod):
+    q = entry_mod.queries()["orders_by_nation"]
+    plan = _formatted(spark, q(spark, "/root/testdata/sf0.001"))
+    assert _tree_count(plan, "BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    # fact scan pruned to join/agg columns only
+    assert "struct<o_custkey:bigint,o_totalprice:double>" in plan
+
+
+def test_pricing_filter_pushdown_and_partial_agg(spark, entry_mod):
+    q = entry_mod.queries()["pricing_summary"]
+    plan = _formatted(spark, q(spark, "/root/testdata/sf0.001"))
+    assert "LessThanOrEqual(l_shipdate" in plan
+    assert _tree_count(plan, "HashAggregate") == 2  # partial + final
+
+
+def test_cosine_topk_rank_limit_pushdown(spark, entry_mod):
+    q = entry_mod.queries()["cosine_topk"]
+    plan = _formatted(spark, q(spark, "/root/testdata/sf0.001"))
+    assert "WindowGroupLimit" in plan  # top-k pruned before the shuffle
+    assert "BroadcastNestedLoopJoin" in plan  # tiny query side broadcast
+
+
+def test_minhash_partial_aggregation(spark, entry_mod):
+    q = entry_mod.queries()["minhash_lsh_pairs"]
+    plan = _formatted(spark, q(spark, "/root/testdata/sf0.001"))
+    # explode -> groupBy min() must partial-aggregate map-side
+    assert _tree_count(plan, "HashAggregate") >= 2
+    assert "BroadcastHashJoin" in plan
