@@ -36,7 +36,7 @@ from arabic_ocr_spark.operators.textstats import (
 )
 from arabic_ocr_spark.sources.synth import SynthConfig, default_model_path, synthesize
 
-_SYNTH_VERSION = "v2"
+_SYNTH_VERSION = "v3"
 _SYNTH_SIZES = {
     "sf0.001": SynthConfig(n_convs=40, pool_size=100, mean_turns=6),
     "sf0.01": SynthConfig(n_convs=120, pool_size=150, mean_turns=8),

@@ -60,51 +60,50 @@ _BODIES = {
     # tall thin bar (form 3, score 0)
     "alef": _bitmap(
         """
-.X.
-.X.
-.X.
-.X.
-.X.
-.X.
-.X.
-XXX
-XXX
-XXX
+.XX.
+.XX.
+.XX.
+.XX.
+.XX.
+.XX.
+.XX.
+XXXX
+XXXX
+XXXX
 """
     ),
     # closed box (hole)
     "box": _bitmap(
         """
-XXXXX
-X...X
-X...X
-X...X
-XXXXX
+XXXXXX
+XX..XX
+XX..XX
+XXXXXX
+XXXXXX
+XXXXXX
 """
     ),
-    # tall closed box (hole, form 3)
+    # wide box with two side-by-side holes (form 1, hmax 6)
     "tbox": _bitmap(
         """
-XXXX
-X..X
-X..X
-X..X
-X..X
-X..X
-X..X
-XXXX
+XXXXXXXX
+XX.XX.XX
+XX.XX.XX
+XXXXXXXX
+XXXXXXXX
+XXXXXXXX
 """
     ),
     # cup: thick bottom slab + side walls (up-concavity, slab protects band)
     "cup": _bitmap(
         """
-X....X
-X....X
-X....X
-XXXXXX
-XXXXXX
-XXXXXX
-XXXXXX
+XX...XX
+XX...XX
+XX...XX
+XXXXXXX
+XXXXXXX
+XXXXXXX
+XXXXXXX
 """
     ),
     # gate: thick top slab + legs joined by a thick base (wide: form 1)
@@ -112,8 +111,8 @@ XXXXXX
         """
 XXXXXXXXX
 XXXXXXXXX
-X.......X
-X.......X
+XX.....XX
+XX.....XX
 XXXXXXXXX
 XXXXXXXXX
 XXXXXXXXX
@@ -122,19 +121,19 @@ XXXXXXXXX
     # comb: three teeth on a thick base (many horizontal transitions)
     "comb": _bitmap(
         """
-X.X.X
-X.X.X
-X.X.X
-XXXXX
-XXXXX
-XXXXX
+XX.XX.XX
+XX.XX.XX
+XX.XX.XX
+XXXXXXXX
+XXXXXXXX
+XXXXXXXX
 """
     ),
     # steps: staircase (mixed transitions)
     "step": _bitmap(
         """
-XX......
-XX......
+XXX.....
+XXX.....
 XXXXX...
 XXXXXXXX
 XXXXXXXX
@@ -144,9 +143,9 @@ XXXXXXXX
     # low wide slab (form 1)
     "slab": _bitmap(
         """
-XXXXXX
-XXXXXX
-XXXXXX
+XXXXXXX
+XXXXXXX
+XXXXXXX
 """
     ),
     # jay: stem on the RIGHT edge of a thick base (mirrored ell)
@@ -161,63 +160,64 @@ XXXXXX
 XXXXXX
 """
     ),
-    # ring on a stem (hole high up)
+    # ring: stem ABOVE a holed box (corvar 12, hole low)
     "ring": _bitmap(
         """
-XXXX
-X..X
-X..X
-XXXX
-.XX.
-.XX.
-.XX.
-XXXX
+.XXX.
+XXXXX
+XX.XX
+XXXXX
+XXXXX
+XXXXX
+XXXXX
 """
     ),
-    # double box (two holes stacked)
+    # double box (two holes stacked, vmax 6)
     "dbox": _bitmap(
         """
-XXXX
-X..X
-XXXX
-X..X
-XXXX
-.XX.
-XXXX
+XXXXX
+XX.XX
+XXXXX
+XX.XX
+XXXXX
+XXXXX
+XXXXX
 """
     ),
     # ell: thick L
     "ell": _bitmap(
         """
-XX....
-XX....
-XX....
-XX....
-XXXXXX
-XXXXXX
-XXXXXX
+XXX....
+XXX....
+XXX....
+XXX....
+XXXXXXX
+XXXXXXX
+XXXXXXX
 """
     ),
     # zig: S-like path on a base
     "zig": _bitmap(
         """
-XXXXX
-....X
-XXXXX
-X....
-XXXXX
-XXXXX
+XXXXXX
+XXXXXX
+....XX
+XXXXXX
+XXXXXX
+XX....
+XXXXXX
+XXXXXX
 """
     ),
     # wide gate with four teeth
     "crown": _bitmap(
         """
-X.X.X.X
-X.X.X.X
-X.X.X.X
-XXXXXXX
-XXXXXXX
-XXXXXXX
+XX.XX.XX.XX
+XX.XX.XX.XX
+XX.XX.XX.XX
+XXXXXXXXXXX
+XXXXXXXXXXX
+XXXXXXXXXXX
 """
     ),
 }
@@ -246,7 +246,7 @@ _GLYPH_DEFS: dict[str, tuple[str, list]] = {
     "r": ("gate", [("below", 1)]),
     "s": ("slab", [("above", 1)]),
     "t": ("tee", [("below", 2)]),
-    "u": ("ell", [("above", 3)]),
+    "u": ("gate", [("above", 3)]),
     "v": ("step", [("below", 1)]),
     "w": ("comb", [("above", 1)]),
     "x": ("ring", [("below", 1)]),
@@ -269,14 +269,15 @@ def _render_glyph(label: str) -> np.ndarray:
     cell[top:BASELINE_ROW + 1, 1:] = body
     cell[BASELINE_ROW, 0] = 1
     for pos, count in dots:
-        xs = [2 + 2 * k for k in range(count)]
+        xs = [2 + 3 * k for k in range(count)]
         if pos == "above":
             row = top - 2
         else:
             row = BASELINE_ROW + 2
         for x in xs:
-            if x <= bw:
+            if x + 1 <= bw:
                 cell[row, x] = 1
+                cell[row, x + 1] = 1
     return cell
 
 
@@ -306,25 +307,54 @@ def render_word(word: str) -> np.ndarray:
     return out
 
 
-def render_line(words: list[str], line_width: int | None = None) -> np.ndarray:
+MAX_GAP_STRETCH = 4   # per inter-word gap; keeps the frequency-derived word
+                      # threshold below the smallest word gap
+MAX_MARGIN_STRETCH = 20
+
+
+def line_natural_width(words: list[str]) -> int:
+    return LEFT_MARGIN + sum(
+        sum(GLYPHS[ch].shape[1] for ch in w) + GLYPH_GAP * (len(w) - 1) for w in words
+    ) + WORD_GAP * (len(words) - 1)
+
+
+def render_line(words: list[str], line_width: int | None = None, justify_to: int | None = None) -> np.ndarray:
     """Words (reading order: words[0] is rendered RIGHTMOST) -> line bitmap
-    including the left margin."""
+    including the left margin.
+
+    justify_to: align the line's INK right edge to this width by growing
+    inter-word gaps (bounded) then the left margin — real pages are
+    justified blocks, and a near-rectangular ink hull keeps the deskew
+    stage's min-area rectangle axis-aligned."""
     bitmaps = [render_word(w) for w in reversed(words)]
-    width = LEFT_MARGIN + sum(b.shape[1] for b in bitmaps) + WORD_GAP * (len(bitmaps) - 1)
+    natural = LEFT_MARGIN + sum(b.shape[1] for b in bitmaps) + WORD_GAP * (len(bitmaps) - 1)
+    margin = LEFT_MARGIN
+    gaps = [WORD_GAP] * max(0, len(bitmaps) - 1)
+    if justify_to is not None and justify_to > natural:
+        extra = justify_to - natural
+        for i in range(len(gaps)):
+            take = min(MAX_GAP_STRETCH, extra)
+            gaps[i] += take
+            extra -= take
+        margin += min(MAX_MARGIN_STRETCH, extra)
+    width = margin + sum(b.shape[1] for b in bitmaps) + sum(gaps)
     if line_width is not None:
         width = max(width, line_width)
     out = np.zeros((CELL_H, width), dtype=np.uint8)
-    x = LEFT_MARGIN
-    for b in bitmaps:
+    x = margin
+    for i, b in enumerate(bitmaps):
         out[:, x:x + b.shape[1]] = b
-        x += b.shape[1] + WORD_GAP
+        x += b.shape[1] + (gaps[i] if i < len(gaps) else 0)
     return out
 
 
-def render_page(lines: list[list[str]]) -> np.ndarray:
+def render_page(lines: list[list[str]], justify: bool = True) -> np.ndarray:
     """Lines of words -> grayscale page image (uint8: paper=255, ink=0),
-    ready for the binarize-invert front of the pipeline."""
-    line_bitmaps = [render_line(ws) for ws in lines]
+    ready for the binarize-invert front of the pipeline.  With justify,
+    every line's ink right edge is aligned to the widest line (as far as
+    the bounded gap/margin stretch allows)."""
+    target = max(line_natural_width(ws) for ws in lines) if justify else None
+    line_bitmaps = [render_line(ws, justify_to=target) for ws in lines]
     width = max(b.shape[1] for b in line_bitmaps) + RIGHT_MARGIN
     height = TOP_MARGIN + sum(b.shape[0] for b in line_bitmaps) + LINE_GAP * (len(line_bitmaps) - 1) + BOTTOM_MARGIN
     ink = np.zeros((height, width), dtype=np.uint8)
@@ -343,8 +373,38 @@ def compose_text_image(text_lines: list[str]) -> tuple[np.ndarray, str]:
     within a line == reading order here (reference segment_words.py:188)."""
     lines = [ln.split() for ln in text_lines]
     img = render_page(lines)
+    return img, expected_text_for(lines)
+
+
+def expected_text_for(lines: list[list[str]]) -> str:
     expected = ""
     for ws in lines:
         for w in ws:
             expected += " " + w.replace("L", "لا")
-    return img, expected
+    return expected
+
+
+def compose_paragraph(rng, n_lines: int, target_width: int = 170,
+                      min_word: int = 3, max_word: int = 6) -> tuple[np.ndarray, str, list[list[str]]]:
+    """Width-targeted random paragraph: each line greedily fills words until
+    the natural width approaches target_width, then justification absorbs
+    the remainder — producing the near-rectangular ink blocks real
+    justified pages have (deskew-stable)."""
+    lines: list[list[str]] = []
+    for _ in range(n_lines):
+        words: list[str] = []
+        while True:
+            w = "".join(rng.choice(ALPHABET, size=int(rng.integers(min_word, max_word + 1))))
+            cand = words + [w]
+            if line_natural_width(cand) > target_width:
+                if words:
+                    break
+                # single word wider than target: keep it anyway
+                words = cand
+                break
+            words = cand
+            if target_width - line_natural_width(words) < 18:
+                break
+        lines.append(words)
+    img = render_page(lines)
+    return img, expected_text_for(lines), lines

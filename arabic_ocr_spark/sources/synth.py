@@ -31,9 +31,20 @@ from ..kernel.classifier import CharModel
 from ..kernel.geometry import rotation_matrix_2d, warp_affine_cubic
 from ..kernel.pipeline import extract_page
 from .codec import encode_payload
-from .glyphs import ALPHABET, compose_text_image
+from .glyphs import ALPHABET, compose_paragraph, compose_text_image
 
-__all__ = ["SynthConfig", "synthesize", "default_model_path"]
+__all__ = ["SynthConfig", "synthesize", "default_model_path", "rotate_page"]
+
+
+def rotate_page(img: np.ndarray, angle: float, pad: int = 12) -> np.ndarray:
+    """Rotate a paper-white/ink-black page by `angle` degrees (bicubic, the
+    same warp the deskew stage inverts), padding the canvas first."""
+    ink = (255 - img).astype(np.uint8)
+    canvas = np.zeros((img.shape[0] + 2 * pad, img.shape[1] + 2 * pad), dtype=np.uint8)
+    canvas[pad:-pad, pad:-pad] = ink
+    m = rotation_matrix_2d((canvas.shape[1] // 2, canvas.shape[0] // 2), angle)
+    rot = warp_affine_cubic(canvas, m, (canvas.shape[1], canvas.shape[0]))
+    return (255 - rot).astype(np.uint8)
 
 _EPOCH = np.datetime64("2024-01-01T00:00:00", "us")
 
@@ -53,8 +64,12 @@ class SynthConfig:
     pool_size: int = 200
     seed: int = 42
     roles: tuple = ("user", "assistant", "tool")
-    max_words_per_line: int = 3
-    max_lines: int = 3
+    # pool pages are width-targeted justified paragraphs: dense blocks keep
+    # the reference's min-area-rect deskew estimator stable (sparse 1-2 line
+    # pages tilt it by up to ~1.5 deg even when straight)
+    min_lines: int = 3
+    max_lines: int = 7
+    target_width: int = 190
 
 
 def _render_pool(cfg: SynthConfig, model: CharModel) -> tuple[list[str], list[dict]]:
@@ -63,27 +78,16 @@ def _render_pool(cfg: SynthConfig, model: CharModel) -> tuple[list[str], list[di
     payloads: list[str] = []
     oracle: list[dict] = []
     for i in range(cfg.pool_size):
-        lines = []
-        for _l in range(int(rng.integers(1, cfg.max_lines + 1))):
-            words = [
-                "".join(rng.choice(ALPHABET, size=int(rng.integers(3, 7))))
-                for _w in range(int(rng.integers(1, cfg.max_words_per_line + 1)))
-            ]
-            lines.append(" ".join(words))
-        img, _true = compose_text_image(lines)
+        n_lines = int(rng.integers(cfg.min_lines, cfg.max_lines + 1))
+        img, true_text, _lines = compose_paragraph(rng, n_lines, cfg.target_width)
         if rng.random() < cfg.skew_angle_frac:
-            angle = float(rng.uniform(-3.0, 3.0))
-            ink = (255 - img).astype(np.uint8)
-            pad = np.zeros((img.shape[0] + 24, img.shape[1] + 24), dtype=np.uint8)
-            pad[12:-12, 12:-12] = ink
-            m = rotation_matrix_2d((pad.shape[1] // 2, pad.shape[0] // 2), angle)
-            rot = warp_affine_cubic(pad, m, (pad.shape[1], pad.shape[0]))
-            img = (255 - rot).astype(np.uint8)
+            img = rotate_page(img, float(rng.uniform(-3.0, 3.0)))
         payloads.append(encode_payload(img))
         res = extract_page(img, model)
         oracle.append(
             {
                 "expected_text": res.text,
+                "true_text": true_text,
                 "n_lines": res.n_lines,
                 "n_words": res.n_words,
                 "ok": res.ok,
@@ -154,6 +158,9 @@ def synthesize(out_dir: str, cfg: SynthConfig | None = None, model_path: str | N
             "turn_idx": pa.array(turn_idxs, pa.int32()),
             "expected_text": pa.array(
                 [oracle[p]["expected_text"] if p >= 0 else "" for p in pool_ids], pa.string()
+            ),
+            "true_text": pa.array(
+                [oracle[p]["true_text"] if p >= 0 else "" for p in pool_ids], pa.string()
             ),
             "n_lines": pa.array([oracle[p]["n_lines"] if p >= 0 else 0 for p in pool_ids], pa.int32()),
             "n_words": pa.array([oracle[p]["n_words"] if p >= 0 else 0 for p in pool_ids], pa.int32()),

@@ -126,32 +126,71 @@ def train_words_for_alphabet(rng: np.random.Generator | None = None, n_random: i
     return pages
 
 
-def train_serial(pages: Iterable[list[str]] | None = None) -> tuple[dict, int, int]:
-    """Serial trainer over composed fixture pages.
-
-    Returns (raw char_map, rejected_words, total_words)."""
-    pages = pages if pages is not None else train_words_for_alphabet()
-    char_map: dict = {}
+def _train_one_page(img, gt_words: list[str], char_map: dict, skip_deskew: bool) -> tuple[int, int]:
     rejected = total = 0
-    for lines in pages:
-        gt_words = [w for ln in lines for w in ln.split()]
-        img, _ = compose_text_image(lines)
-        wi = 0
-        for word_img, cuts, _li in iter_words(img, skip_deskew=True):
+    wi = 0
+    try:
+        for word_img, cuts, _li in iter_words(img, skip_deskew=skip_deskew):
             fvs = batch_get_feat_vectors(word_img, cuts)
             total += 1
             if wi >= len(gt_words):
                 rejected += 1
                 continue
-            res = compare_and_assign(fvs, gt_words[wi], char_map)
-            if res == -1:
+            if compare_and_assign(fvs, gt_words[wi], char_map) == -1:
                 rejected += 1
             wi += 1
+    except Exception:
+        # page-level segmentation failure: all its words count as rejected
+        rejected += max(1, len(gt_words) - wi)
+        total += max(1, len(gt_words) - wi)
+    return rejected, total
+
+
+def train_serial(pages: Iterable[list[str]] | None = None,
+                 skew_rounds: int = 0, seed: int = 42) -> tuple[dict, int, int]:
+    """Serial trainer over composed fixture pages.
+
+    skew_rounds > 0 adds passes over the SAME pages rotated by small seeded
+    angles (extraction runs the real deskew): warped glyph variants enter
+    the map with the clean pairs first, so clean-page recognition is
+    unchanged (exact matches hit distance 0 on the earlier pairs) while
+    skewed pages gain nearest neighbours.  The count-mismatch rejection
+    keeps badly-resegmented words out.
+
+    Returns (raw char_map, rejected_words, total_words)."""
+    from .sources.synth import rotate_page
+
+    pages = list(pages) if pages is not None else train_words_for_alphabet()
+    char_map: dict = {}
+    rejected = total = 0
+    # clean pass runs the FULL inference path (deskew on): min-area-rect
+    # tilts even straight pages with ragged line ends by a fraction of a
+    # degree, so training must see exactly what inference sees
+    for lines in pages:
+        gt_words = [w for ln in lines for w in ln.split()]
+        img, _ = compose_text_image(lines)
+        r, t = _train_one_page(img, gt_words, char_map, skip_deskew=False)
+        rejected += r
+        total += t
+    rng = np.random.default_rng(seed + 7)
+    for _round in range(skew_rounds):
+        for lines in pages:
+            gt_words = [w for ln in lines for w in ln.split()]
+            img, _ = compose_text_image(lines)
+            angle = float(rng.uniform(-3.0, 3.0))
+            r, t = _train_one_page(rotate_page(img, angle), gt_words, char_map, skip_deskew=False)
+            rejected += r
+            total += t
     return char_map, rejected, total
 
 
-def build_model(out_path: str | None = None) -> CharModel:
-    raw, rejected, total = train_serial()
+DEFAULT_SKEW_ROUNDS = 4
+
+
+def build_model(out_path: str | None = None, skew_rounds: int = DEFAULT_SKEW_ROUNDS) -> CharModel:
+    """Builds the committed classifier artifact: clean pass through the full
+    inference path plus skew-augmented rounds (see train_serial)."""
+    raw, rejected, total = train_serial(skew_rounds=skew_rounds)
     model = CharModel.from_raw(raw)
     if out_path:
         model.save(out_path)
@@ -172,7 +211,8 @@ def train_spark(spark, pages: list[list[str]], out_path: str | None = None) -> C
         img, _ = compose_text_image(page_lines)
         wi = 0
         out = []
-        for word_img, cuts, _li in iter_words(img, skip_deskew=True):
+        # full inference path (deskew on) — must match train_serial exactly
+        for word_img, cuts, _li in iter_words(img, skip_deskew=False):
             fvs = batch_get_feat_vectors(word_img, cuts)
             if wi < len(gt_words):
                 word = gt_words[wi]

@@ -29,7 +29,7 @@ from arabic_ocr_spark.job import ExtractionJobConfig, plan_extraction  # noqa: E
 from arabic_ocr_spark.kernel.classifier import CharModel  # noqa: E402
 from arabic_ocr_spark.sources.synth import SynthConfig, default_model_path, synthesize  # noqa: E402
 
-BENCH_DIR = "/tmp/arabic_ocr_bench/scaling_v1"
+BENCH_DIR = "/tmp/arabic_ocr_bench/scaling_v2"
 PAIRS = [(2, 8), (8, 32)]
 
 
