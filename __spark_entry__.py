@@ -98,6 +98,7 @@ def _q_extract_eval(spark, sf_dir):
     strip = lambda c: F.regexp_replace(c, r"\s", "")  # noqa: E731
     return j.agg(
         F.count("*").cast("long").alias("n_turns"),
+        # the gate: per-turn equality vs the serial oracle
         F.round(F.avg((F.col("extracted_text") == F.col("expected_text")).cast("double")), 6).alias("exact_match_rate"),
         F.round(
             F.avg(
@@ -109,6 +110,19 @@ def _q_extract_eval(spark, sf_dir):
             ),
             6,
         ).alias("lev_accuracy"),
+        # recognition quality vs the composed ground truth (bounded by the
+        # reference's own deskew estimator on the rotated pool subset)
+        F.round(F.avg((F.col("extracted_text") == F.col("true_text")).cast("double")), 6).alias("true_exact_rate"),
+        F.round(
+            F.avg(
+                F.greatest(
+                    F.lit(0.0),
+                    1 - F.levenshtein(strip("extracted_text"), strip("true_text"))
+                    / F.greatest(F.length(strip("true_text")), F.lit(1)),
+                )
+            ),
+            6,
+        ).alias("true_lev_accuracy"),
     )
 
 

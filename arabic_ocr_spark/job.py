@@ -67,6 +67,23 @@ class ExtractionJobConfig:
     model_path: str | None = None
     payload_roles: tuple = ()       # optional role filter pushed into the scan
     require_payload: bool = True    # filter text != '' at the scan
+    # Iceberg output (production): when set and an Iceberg catalog is on the
+    # classpath, each wave commits via writeTo(table).overwritePartitions()
+    # with the wave as a partition column — an atomic snapshot per wave, the
+    # exact production analog of the parquet wave-directory commit used in
+    # the sandbox (no Iceberg runtime jar here).
+    iceberg_table: str | None = None
+    iceberg_lineage_table: str | None = None
+
+
+def _iceberg_available(spark) -> bool:
+    try:
+        # NB: plain _jvm attribute access is lazy (returns a JavaPackage even
+        # for missing classes); Class.forName actually probes the classpath
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.catalog.Catalog")
+        return True
+    except Exception:
+        return False
 
 
 def _make_kernel(model_bc, templates_bc):
@@ -194,6 +211,14 @@ def run_extraction(
             shutil.rmtree(data_dir, ignore_errors=True)
 
         wave_df = result.filter(F.col("wave") == wave).drop("wave")
+        if cfg.iceberg_table and _iceberg_available(spark):
+            # production path: one atomic Iceberg snapshot per wave
+            # (overwritePartitions on the wave partition -> retry-idempotent);
+            # the parquet wave directory below remains the sandbox-testable
+            # system of record, so with a catalog configured this dual-writes
+            # during migration
+            (wave_df.withColumn("wave", F.lit(wave))
+             .writeTo(cfg.iceberg_table).overwritePartitions())
         wave_df.write.mode("overwrite").parquet(data_dir)
 
         # lineage derived from the COMMITTED files (read-back of the tiny

@@ -26,15 +26,13 @@ __all__ = ["find_external_contours", "contour_area"]
 _DELTAS = ((1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1))
 
 
-def _trace_border(fg: np.ndarray, start: tuple[int, int]) -> list[tuple[int, int]]:
+def _trace_border(fgp: np.ndarray, start: tuple[int, int]) -> list[tuple[int, int]]:
     """Follow the outer border of the component containing `start`
     (which must be its raster-first pixel, so its W neighbour is background).
-    Returns the point sequence as (x, y) tuples."""
-    h, w = fg.shape
-    y0, x0 = start
-
-    def at(x: int, y: int) -> bool:
-        return 0 <= x < w and 0 <= y < h and fg[y, x]
+    `fgp` is the foreground mask padded by one false ring (bounds checks
+    become plain indexing).  Returns the point sequence as (x, y) tuples in
+    UNPADDED coordinates."""
+    y0, x0 = start[0] + 1, start[1] + 1
 
     # initial probe: clockwise from WEST around the start pixel
     s = s_end = 4
@@ -42,13 +40,13 @@ def _trace_border(fg: np.ndarray, start: tuple[int, int]) -> list[tuple[int, int
     while True:
         s = (s - 1) & 7
         dx, dy = _DELTAS[s]
-        if at(x0 + dx, y0 + dy):
+        if fgp[y0 + dy, x0 + dx]:
             i1 = (x0 + dx, y0 + dy)
             break
         if s == s_end:
             break
     if i1 is None:
-        return [(x0, y0)]  # isolated pixel
+        return [(x0 - 1, y0 - 1)]  # isolated pixel
 
     pts: list[tuple[int, int]] = []
     i3 = (x0, y0)
@@ -58,10 +56,10 @@ def _trace_border(fg: np.ndarray, start: tuple[int, int]) -> list[tuple[int, int
             s += 1
             dx, dy = _DELTAS[s & 7]
             i4 = (i3[0] + dx, i3[1] + dy)
-            if at(*i4):
+            if fgp[i4[1], i4[0]]:
                 break
         s &= 7
-        pts.append(i3)
+        pts.append((i3[0] - 1, i3[1] - 1))
         if i4 == (x0, y0) and i3 == i1:
             break
         i3 = i4
@@ -75,7 +73,8 @@ def find_external_contours(img: np.ndarray) -> list[np.ndarray]:
     n, labels, _ = label_components(img)
     if n <= 1:
         return []
-    fg = img != 0
+    fgp = np.zeros((img.shape[0] + 2, img.shape[1] + 2), dtype=bool)
+    fgp[1:-1, 1:-1] = img != 0
     contours: list[np.ndarray] = []
     flat = labels.ravel()
     w = img.shape[1]
@@ -90,7 +89,7 @@ def find_external_contours(img: np.ndarray) -> list[np.ndarray]:
                 break
     for lbl in range(1, n):
         idx = first_idx[lbl]
-        pts = _trace_border(fg, (int(idx // w), int(idx % w)))
+        pts = _trace_border(fgp, (int(idx // w), int(idx % w)))
         contours.append(np.asarray(pts, dtype=np.int64))
     return contours
 
@@ -101,4 +100,6 @@ def contour_area(cnt: np.ndarray) -> float:
         return 0.0
     x = cnt[:, 0].astype(np.float64)
     y = cnt[:, 1].astype(np.float64)
-    return 0.5 * abs(float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))))
+    cross = float(np.dot(x[:-1], y[1:]) - np.dot(y[:-1], x[1:]))
+    cross += float(x[-1] * y[0] - y[-1] * x[0])  # closing edge
+    return 0.5 * abs(cross)

@@ -141,13 +141,15 @@ def contour_seg(image: np.ndarray, baseline_org: int, templates: list[TemplateSp
     character_indecies: list = []
 
     contours = find_external_contours(image)
-    contours = sorted(contours, key=contour_area, reverse=True)
+    # areas computed once: the sort key and the loop's area cutoff share them
+    with_area = sorted(((contour_area(c), i, c) for i, c in enumerate(contours)),
+                       key=lambda t: (-t[0], t[1]))
 
     xcoords, _dists = zero_run_gaps(vertical_projection(image))
     xcoords = xcoords[1:]  # the first sub-word gap centre is dropped
 
-    for cnt in contours:
-        if contour_area(cnt) < 1:
+    for area, _i, cnt in with_area:
+        if area < 1:
             break
 
         # leftmost point's x (first minimum in point order)
