@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from arabic_ocr_spark.job import ExtractionJobConfig, plan_extraction
 from arabic_ocr_spark.kernel.classifier import CharModel
 from arabic_ocr_spark.operators.dedup import (
+    dedup_groups,
     exact_dup_groups,
     jaccard_verified_pairs,
     lsh_candidate_pairs,
@@ -181,6 +182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_lsh_pairs"] = lambda s, d: lsh_candidate_pairs(_t(s, d, "documents"))
     q["jaccard_pairs"] = lambda s, d: jaccard_verified_pairs(_t(s, d, "documents"))
     q["simhash"] = lambda s, d: simhash(_t(s, d, "documents"))
+    q["dedup_groups"] = lambda s, d: dedup_groups(_t(s, d, "documents"))
     q["token_stats"] = lambda s, d: token_stats(_t(s, d, "documents")).withColumn(
         "n_tokens", F.col("n_tokens").cast("long"))
     q["quality"] = lambda s, d: quality_scores(_t(s, d, "documents")).withColumn(
@@ -302,6 +304,32 @@ SELECT doc_a, doc_b, jaccard FROM (
 """
 
     sql["simhash"] = _sql_simhash()
+
+    sql["dedup_groups"] = _sql_minhash_cte().replace("WITH sh AS", "WITH RECURSIVE sh AS", 1) + """
+, verified AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT c.doc_a, c.doc_b,
+      round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+    FROM cand c
+    JOIN sig a ON a.doc_id = c.doc_a
+    JOIN sig b ON b.doc_id = c.doc_b
+  ) WHERE jaccard >= 0.6
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION SELECT doc_b, doc_a FROM verified
+),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT d.doc_id, coalesce(g.group_rep, d.doc_id) AS group_rep
+FROM documents d
+LEFT JOIN (SELECT a AS doc_id, min(b) AS group_rep FROM reach GROUP BY a) g
+  ON g.doc_id = d.doc_id
+"""
 
     sql["token_stats"] = """
 SELECT doc_id,

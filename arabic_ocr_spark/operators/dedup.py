@@ -17,7 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["exact_dup_groups", "minhash_signatures", "lsh_candidate_pairs", "jaccard_verified_pairs", "simhash"]
+__all__ = ["exact_dup_groups", "minhash_signatures", "lsh_candidate_pairs",
+           "jaccard_verified_pairs", "simhash", "dedup_groups"]
 
 
 def exact_dup_groups(docs: DataFrame) -> DataFrame:
@@ -120,6 +121,52 @@ def jaccard_verified_pairs(docs: DataFrame, k: int = 7, num_hashes: int = 8,
         )
     )
     return j.filter(F.col("jaccard") >= threshold)
+
+
+def dedup_groups(docs: DataFrame, k: int = 7, num_hashes: int = 8,
+                 band_size: int = 2, threshold: float = 0.6,
+                 max_iters: int = 20) -> DataFrame:
+    """Near-duplicate GROUPS: connected components over the Jaccard-verified
+    pair graph; every document gets its component's minimum doc_id as
+    group_rep (singletons map to themselves).
+
+    Distributed CC via iterative minimum-label propagation with a driver
+    fixpoint loop — O(diameter) joins, each a small shuffle over the edge
+    set only (the full corpus joins in exactly once at the end).  Dedup
+    graphs are overwhelmingly tiny cliques, so 2-3 iterations converge;
+    max_iters bounds adversarial chains."""
+    pairs = jaccard_verified_pairs(docs, k, num_hashes, band_size, threshold).select("doc_a", "doc_b")
+    edges = pairs.unionAll(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+    edges = edges.localCheckpoint()  # cut the (nondeterministic-cost) LSH lineage once
+
+    labels = edges.groupBy("doc_a").agg(F.min("doc_b").alias("rep")).select(
+        "doc_a", F.least("doc_a", "rep").alias("rep")
+    )
+    for _ in range(max_iters):
+        # rep <- min(rep, min over neighbours' rep)
+        neigh = (
+            edges.join(labels.withColumnRenamed("doc_a", "doc_b").withColumnRenamed("rep", "nrep"), "doc_b")
+            .groupBy("doc_a")
+            .agg(F.min("nrep").alias("min_nrep"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_a", "left")
+            .select("doc_a", F.least("rep", F.coalesce("min_nrep", "rep")).alias("rep"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.withColumnRenamed("rep", "new_rep")
+            .join(labels, "doc_a")
+            .filter(F.col("new_rep") != F.col("rep"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        docs.select("doc_id")
+        .join(labels.withColumnRenamed("doc_a", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("rep", "doc_id").alias("group_rep"))
+    )
 
 
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
