@@ -55,7 +55,7 @@ RESULT_SCHEMA = (
 LINEAGE_SCHEMA = (
     "wave int, chunk int, rows_processed bigint, n_ok bigint, n_failed bigint, "
     "turn_min int, turn_max int, conv_min string, conv_max string, "
-    "wall_us bigint, committed_at double"
+    "wall_us bigint, extraction_acc double, committed_at double"
 )
 
 
@@ -74,6 +74,10 @@ class ExtractionJobConfig:
     # the sandbox (no Iceberg runtime jar here).
     iceberg_table: str | None = None
     iceberg_lineage_table: str | None = None
+    # optional golden table (conv_id, turn_idx, expected_text): when set,
+    # each lineage row carries the chunk's extraction accuracy (the north
+    # star's per-partition "extraction accuracy" metric)
+    golden_path: str | None = None
 
 
 def _iceberg_available(spark) -> bool:
@@ -225,6 +229,16 @@ def run_extraction(
         # metric columns only -> column-pruned scan), so lineage can never
         # claim rows that did not commit
         written = spark.read.parquet(data_dir)
+        if cfg.golden_path:
+            golden = spark.read.parquet(cfg.golden_path).select(
+                "conv_id", "turn_idx", "expected_text"
+            )
+            written = written.join(golden, ["conv_id", "turn_idx"], "left").withColumn(
+                "is_exact",
+                (F.col("extracted_text") == F.col("expected_text")).cast("double"),
+            )
+        else:
+            written = written.withColumn("is_exact", F.lit(None).cast("double"))
         lin = (
             written.groupBy("chunk")
             .agg(
@@ -236,12 +250,14 @@ def run_extraction(
                 F.min("conv_id").alias("conv_min"),
                 F.max("conv_id").alias("conv_max"),
                 F.sum("proc_us").alias("wall_us"),
+                F.avg("is_exact").alias("extraction_acc"),
             )
             .withColumn("wave", F.lit(wave))
             .withColumn("committed_at", F.lit(time.time()))
             .select(
                 "wave", "chunk", "rows_processed", "n_ok", "n_failed",
-                "turn_min", "turn_max", "conv_min", "conv_max", "wall_us", "committed_at",
+                "turn_min", "turn_max", "conv_min", "conv_max", "wall_us",
+                "extraction_acc", "committed_at",
             )
         )
         lin.coalesce(1).write.mode("overwrite").parquet(lin_dir)

@@ -48,6 +48,7 @@ def main() -> None:
         "dedup_exact",
         "minhash_lsh_pairs",
         "jaccard_pairs",
+        "dedup_groups",
         "simhash",
         "token_stats",
         "quality",

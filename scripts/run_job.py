@@ -34,6 +34,7 @@ def main() -> None:
     ap.add_argument("--chunks", type=int, default=256)
     ap.add_argument("--waves", type=int, default=8)
     ap.add_argument("--salt", type=int, default=16)
+    ap.add_argument("--golden", default=None, help="golden parquet for per-chunk extraction_acc lineage")
     ap.add_argument("--streaming", default="false")
     args = ap.parse_args()
 
@@ -49,6 +50,7 @@ def main() -> None:
         num_waves=args.waves,
         salt_buckets=args.salt,
         model_path=args.model or default_model_path(),
+        golden_path=args.golden,
     )
     if args.streaming.lower() == "true":
         run_streaming_extraction(spark, args.input, args.output, cfg)

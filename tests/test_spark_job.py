@@ -122,3 +122,14 @@ def test_blank_and_failed_turns_accounted(spark, synth_dir, tmp_path):
     n_payload = inp.filter(F.col("text") != "").count()
     lin = read_lineage(spark, out)
     assert lin.agg(F.sum("rows_processed")).collect()[0][0] == n_payload
+
+
+def test_lineage_extraction_accuracy(spark, synth_dir, tmp_path):
+    out = str(tmp_path / "out")
+    cfg = _cfg()
+    cfg.golden_path = f"{synth_dir}/transcripts_golden.parquet"
+    run_extraction(spark, f"{synth_dir}/transcripts.parquet", out, cfg)
+    lin = read_lineage(spark, out)
+    # vs the oracle golden, every chunk is exact (the correctness gate)
+    accs = [r.extraction_acc for r in lin.collect()]
+    assert accs and all(a == 1.0 for a in accs)
