@@ -78,6 +78,13 @@ class ExtractionJobConfig:
     # each lineage row carries the chunk's extraction accuracy (the north
     # star's per-partition "extraction accuracy" metric)
     golden_path: str | None = None
+    # dedup-before-compute: extract each DISTINCT payload once and join the
+    # result back to the turns.  Real transcript corpora repeat payloads
+    # (retries, quoted/forwarded documents); when the duplication factor is
+    # d, this trades two cheap shuffles on a 32-char hash for a d-fold
+    # reduction of kernel work.  Default off: with unique payloads it only
+    # adds the shuffles.
+    dedup_payloads: bool = False
 
 
 def _iceberg_available(spark) -> bool:
@@ -90,11 +97,14 @@ def _iceberg_available(spark) -> bool:
         return False
 
 
-def _make_kernel(model_bc, templates_bc):
+def _make_kernel(model_bc, templates_bc, passthrough_col: str | None = None):
     """Returns the mapInPandas function.  The broadcast values deserialize
     once per executor (Spark broadcast semantics) — the reference reloads
     its 1.4 MB model JSON per image and its template PNGs per contour; here
-    both cross the wire exactly once per executor."""
+    both cross the wire exactly once per executor.
+
+    passthrough_col: optional extra input column copied to the output ahead
+    of the result schema (used by the distinct-payload plan)."""
 
     def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -105,7 +115,10 @@ def _make_kernel(model_bc, templates_bc):
         for pdf in batches:
             n = len(pdf)
             texts = pdf["text"].tolist()
-            out = {
+            out = {}
+            if passthrough_col:
+                out[passthrough_col] = pdf[passthrough_col].tolist()
+            out.update({
                 "conv_id": pdf["conv_id"].tolist(),
                 "turn_idx": pdf["turn_idx"].tolist(),
                 "chunk": pdf["chunk"].tolist(),
@@ -116,7 +129,7 @@ def _make_kernel(model_bc, templates_bc):
                 "ok": [False] * n,
                 "err": [""] * n,
                 "proc_us": [0] * n,
-            }
+            })
             for i in range(n):
                 t0 = time.perf_counter()
                 res = extract_page(decode_payload(texts[i]), model, templates)
@@ -151,6 +164,38 @@ def plan_extraction(spark, df, cfg: ExtractionJobConfig, model: CharModel | None
             F.lit(cfg.num_chunks),
         ).cast("int"),
     )
+    if cfg.dedup_payloads:
+        # extract once per distinct payload, join results back to the turns.
+        # The distinct side repartitions on the payload hash (its own even
+        # key space); the join back is a hash join on the same 32-char key.
+        hashed = salted.withColumn("_ph", F.md5("text"))
+        distinct = (
+            hashed.select("_ph", "text")
+            .dropDuplicates(["_ph"])
+            .withColumn("conv_id", F.lit(""))
+            .withColumn("turn_idx", F.lit(0))
+            .withColumn("chunk", F.pmod(F.xxhash64("_ph"), F.lit(cfg.num_chunks)).cast("int"))
+            .repartition(cfg.num_chunks, F.col("chunk"))
+        )
+        per_payload = distinct.mapInPandas(
+            _make_kernel(model_bc, templates_bc, passthrough_col="_ph"),
+            schema="_ph string, " + RESULT_SCHEMA,
+        ).select("_ph", "extracted_text", "n_lines", "n_words", "ok", "err", "proc_us", F.col("part_id").alias("_xpart"))
+        joined = (
+            hashed.select("conv_id", "turn_idx", "chunk", "_ph")
+            .join(per_payload, "_ph")
+            .drop("_ph")
+            .withColumn("part_id", F.col("_xpart"))
+            .drop("_xpart")
+            .select(
+                "conv_id", "turn_idx", "chunk", "part_id", "extracted_text",
+                "n_lines", "n_words", "ok", "err", "proc_us",
+            )
+        )
+        # restore the canonical partitioning/order contract
+        return joined.repartition(cfg.num_chunks, F.col("chunk")).sortWithinPartitions(
+            "conv_id", "turn_idx"
+        )
     partitioned = salted.repartition(cfg.num_chunks, F.col("chunk")).sortWithinPartitions(
         "conv_id", "turn_idx"
     )

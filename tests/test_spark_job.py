@@ -124,6 +124,22 @@ def test_blank_and_failed_turns_accounted(spark, synth_dir, tmp_path):
     assert lin.agg(F.sum("rows_processed")).collect()[0][0] == n_payload
 
 
+def test_dedup_payloads_plan_equivalent(spark, synth_dir, tmp_path):
+    """Distinct-payload extraction must produce byte-identical per-turn
+    results to the direct plan (only task-level metadata may differ)."""
+    from arabic_ocr_spark.job import plan_extraction
+
+    df = spark.read.parquet(f"{synth_dir}/transcripts.parquet").filter(F.col("text") != "")
+    cols = ["conv_id", "turn_idx", "chunk", "extracted_text", "n_lines", "n_words", "ok", "err"]
+    direct = plan_extraction(spark, df, _cfg()).select(cols)
+    cfg2 = _cfg()
+    cfg2.dedup_payloads = True
+    deduped = plan_extraction(spark, df, cfg2).select(cols)
+    assert direct.count() == deduped.count()
+    assert direct.exceptAll(deduped).count() == 0
+    assert deduped.exceptAll(direct).count() == 0
+
+
 def test_lineage_extraction_accuracy(spark, synth_dir, tmp_path):
     out = str(tmp_path / "out")
     cfg = _cfg()
