@@ -35,6 +35,8 @@ def main() -> None:
     ap.add_argument("--waves", type=int, default=8)
     ap.add_argument("--salt", type=int, default=16)
     ap.add_argument("--golden", default=None, help="golden parquet for per-chunk extraction_acc lineage")
+    ap.add_argument("--dedup-payloads", default="false",
+                    help="extract once per distinct payload and join back (duplicate-heavy corpora)")
     ap.add_argument("--streaming", default="false")
     args = ap.parse_args()
 
@@ -51,6 +53,7 @@ def main() -> None:
         salt_buckets=args.salt,
         model_path=args.model or default_model_path(),
         golden_path=args.golden,
+        dedup_payloads=args.dedup_payloads.lower() == "true",
     )
     if args.streaming.lower() == "true":
         run_streaming_extraction(spark, args.input, args.output, cfg)
