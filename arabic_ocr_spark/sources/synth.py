@@ -21,7 +21,7 @@ Skew knobs (exercised by tests and the bench):
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa

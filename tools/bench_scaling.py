@@ -42,9 +42,6 @@ def ensure_input() -> str:
     return BENCH_DIR
 
 
-_RAW_PAYLOADS: list[str] = []
-
-
 def _raw_worker(shard: list[str]) -> int:
     """Bare-metal baseline: the identical kernel over the identical payloads,
     driven by multiprocessing instead of Spark — isolates the machine's own
