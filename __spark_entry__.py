@@ -27,7 +27,7 @@ from arabic_ocr_spark.operators.dedup import (
     simhash,
 )
 from arabic_ocr_spark.operators.relational import events_hourly, orders_by_nation, pricing_summary
-from arabic_ocr_spark.operators.similarity import cosine_topk, lsh_ann_topk
+from arabic_ocr_spark.operators.similarity import cosine_topk, embedding_dup_pairs, lsh_ann_topk
 from arabic_ocr_spark.operators.textstats import (
     LANG_MARKERS,
     fingerprints,
@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fingerprint"] = lambda s, d: fingerprints(_t(s, d, "documents"))
     q["cosine_topk"] = lambda s, d: cosine_topk(_t(s, d, "embeddings")).withColumn(
         "rank", F.col("rank").cast("long"))
+    q["embedding_dup_pairs"] = lambda s, d: embedding_dup_pairs(_t(s, d, "embeddings"))
     q["pricing_summary"] = lambda s, d: pricing_summary(_t(s, d, "lineitem"))
     q["orders_by_nation"] = lambda s, d: orders_by_nation(
         _t(s, d, "orders"), _t(s, d, "customer"), _t(s, d, "nation"))
@@ -373,6 +374,16 @@ SELECT query_id, neighbor_id, sim_r, CAST(rank AS BIGINT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id ASC) AS rank
   FROM sims
 ) WHERE rank <= 10
+"""
+
+    sql["embedding_dup_pairs"] = """
+WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings)
+SELECT vec_a, vec_b, sim_r FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    round(list_dot_product(a.emb, b.emb)
+          / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) AS sim_r
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+) WHERE sim_r >= 0.38
 """
 
     sql["pricing_summary"] = """

