@@ -145,13 +145,28 @@ def _make_kernel(model_bc, templates_bc, passthrough_col: str | None = None):
 
 
 def plan_extraction(spark, df, cfg: ExtractionJobConfig, model: CharModel | None = None,
-                    templates: list[TemplateSpec] | None = None):
-    """Builds the extraction DataFrame (no side effects; one shuffle)."""
+                    templates: list[TemplateSpec] | None = None, wave: int | None = None,
+                    model_bc=None, templates_bc=None):
+    """Builds the extraction DataFrame (no side effects; one shuffle).
+
+    wave: restrict the plan to one checkpoint wave.  The predicate is on the
+    PRE-kernel salted chunk column (`pmod(chunk, num_waves) == wave`), so it
+    prunes before the repartition — a wave scans, shuffles, and extracts only
+    its own 1/num_waves of the input.  (Filtering the kernel OUTPUT instead
+    would re-run the opaque mapInPandas kernel over everything per wave:
+    Catalyst cannot push a predicate through it.)
+
+    model_bc / templates_bc: pre-created broadcast handles, so callers that
+    build many plans per session (the wave loop, streaming foreachBatch)
+    broadcast the model exactly once instead of once per plan.
+    """
     from pyspark.sql import functions as F
 
-    model = model or CharModel.load(cfg.model_path)
-    model_bc = spark.sparkContext.broadcast(model)
-    templates_bc = spark.sparkContext.broadcast(templates or [])
+    if model_bc is None:
+        model = model or CharModel.load(cfg.model_path)
+        model_bc = spark.sparkContext.broadcast(model)
+    if templates_bc is None:
+        templates_bc = spark.sparkContext.broadcast(templates or [])
 
     cols = df.select("conv_id", "turn_idx", "text")
     if cfg.payload_roles:
@@ -164,6 +179,8 @@ def plan_extraction(spark, df, cfg: ExtractionJobConfig, model: CharModel | None
             F.lit(cfg.num_chunks),
         ).cast("int"),
     )
+    if wave is not None:
+        salted = salted.filter(_wave_of(F.col("chunk"), cfg.num_waves) == wave)
     if cfg.dedup_payloads:
         # extract once per distinct payload, join results back to the turns.
         # The distinct side repartitions on the payload hash (its own even
@@ -180,21 +197,24 @@ def plan_extraction(spark, df, cfg: ExtractionJobConfig, model: CharModel | None
         per_payload = distinct.mapInPandas(
             _make_kernel(model_bc, templates_bc, passthrough_col="_ph"),
             schema="_ph string, " + RESULT_SCHEMA,
-        ).select("_ph", "extracted_text", "n_lines", "n_words", "ok", "err", "proc_us", F.col("part_id").alias("_xpart"))
+        ).select("_ph", "extracted_text", "n_lines", "n_words", "ok", "err", "proc_us")
         joined = (
             hashed.select("conv_id", "turn_idx", "chunk", "_ph")
             .join(per_payload, "_ph")
             .drop("_ph")
-            .withColumn("part_id", F.col("_xpart"))
-            .drop("_xpart")
+        )
+        # restore the canonical partitioning/order contract; part_id is the
+        # task that OWNS the row's chunk after this repartition (the kernel
+        # task's id would describe the distinct-payload shuffle, not the
+        # chunk->partition mapping lineage reports on)
+        return (
+            joined.repartition(cfg.num_chunks, F.col("chunk"))
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .withColumn("part_id", F.spark_partition_id())
             .select(
                 "conv_id", "turn_idx", "chunk", "part_id", "extracted_text",
                 "n_lines", "n_words", "ok", "err", "proc_us",
             )
-        )
-        # restore the canonical partitioning/order contract
-        return joined.repartition(cfg.num_chunks, F.col("chunk")).sortWithinPartitions(
-            "conv_id", "turn_idx"
         )
     partitioned = salted.repartition(cfg.num_chunks, F.col("chunk")).sortWithinPartitions(
         "conv_id", "turn_idx"
@@ -239,8 +259,9 @@ def run_extraction(
     if cfg.require_payload:
         df = df.filter(F.col("text") != "")
 
-    result = plan_extraction(spark, df, cfg, model=model, templates=templates)
-    result = result.withColumn("wave", _wave_of(F.col("chunk"), cfg.num_waves))
+    # broadcast once for the whole run; every wave's plan reuses the handles
+    model_bc = spark.sparkContext.broadcast(model or CharModel.load(cfg.model_path))
+    templates_bc = spark.sparkContext.broadcast(templates or [])
 
     lineage = read_lineage(spark, output_dir)
     done_waves: set[int] = set()
@@ -259,7 +280,12 @@ def run_extraction(
         if os.path.exists(data_dir):
             shutil.rmtree(data_dir, ignore_errors=True)
 
-        wave_df = result.filter(F.col("wave") == wave).drop("wave")
+        # per-wave plan: the wave predicate sits BELOW the kernel (on the
+        # pre-shuffle salted chunk), so this wave scans/shuffles/extracts
+        # only its own 1/num_waves of the rows
+        wave_df = plan_extraction(
+            spark, df, cfg, wave=wave, model_bc=model_bc, templates_bc=templates_bc
+        )
         if cfg.iceberg_table and _iceberg_available(spark):
             # production path: one atomic Iceberg snapshot per wave
             # (overwritePartitions on the wave partition -> retry-idempotent);

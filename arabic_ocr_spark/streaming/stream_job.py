@@ -44,6 +44,11 @@ def run_streaming_extraction(
 
     cfg = cfg or ExtractionJobConfig()
     model = model or CharModel.load(cfg.model_path)
+    # broadcast ONCE for the stream's lifetime: foreachBatch runs per
+    # micro-batch, and a per-batch broadcast would accumulate un-unpersisted
+    # broadcast blocks on executors over a long-running stream
+    model_bc = spark.sparkContext.broadcast(model)
+    templates_bc = spark.sparkContext.broadcast([])
     stream = (
         spark.readStream.schema(TRANSCRIPTS_SCHEMA)
         .option("maxFilesPerTrigger", 8)
@@ -52,7 +57,9 @@ def run_streaming_extraction(
 
     def process_batch(batch_df, batch_id: int):
         df = batch_df.filter(F.col("text") != "") if cfg.require_payload else batch_df
-        result = plan_extraction(df.sparkSession, df, cfg, model=model)
+        result = plan_extraction(
+            df.sparkSession, df, cfg, model_bc=model_bc, templates_bc=templates_bc
+        )
         data_dir = os.path.join(output_dir, "data", f"batch={batch_id}")
         result.write.mode("overwrite").parquet(data_dir)  # idempotent per batch id
         written = df.sparkSession.read.parquet(data_dir)

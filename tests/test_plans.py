@@ -36,6 +36,29 @@ def test_extraction_plan_prunes_and_single_shuffle(spark, entry_mod):
     assert "MapInPandas" in plan and "Sort" in plan
 
 
+def test_wave_filter_below_kernel(spark, entry_mod):
+    """A wave-restricted plan must filter on the PRE-kernel chunk column:
+    the wave predicate prunes before the shuffle, and no Filter sits above
+    MapInPandas (which would re-run the kernel on all rows per wave)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from arabic_ocr_spark.job import ExtractionJobConfig, plan_extraction
+    from arabic_ocr_spark.sources.synth import default_model_path
+
+    d = entry_mod.synth_dir_for("/root/testdata/sf0.001")
+    df = spark.read.parquet(os.path.join(d, "transcripts.parquet")).filter(F.col("text") != "")
+    cfg = ExtractionJobConfig(num_chunks=12, num_waves=3, model_path=default_model_path())
+    plan = _formatted(spark, plan_extraction(spark, df, cfg, wave=1))
+    tree = plan.split("\n\n")[0]  # root-first tree section of formatted explain
+    map_pos = tree.index("MapInPandas")
+    filter_positions = [m.start() for m in re.finditer(r"Filter", tree)]
+    assert filter_positions and all(p > map_pos for p in filter_positions)
+    assert "pmod" in plan  # the wave predicate on the salted chunk
+    assert _tree_count(plan, "Exchange") == 1  # still exactly one shuffle
+
+
 def test_dim_joins_are_broadcast(spark, entry_mod):
     q = entry_mod.queries()["orders_by_nation"]
     plan = _formatted(spark, q(spark, "/root/testdata/sf0.001"))
