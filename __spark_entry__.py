@@ -27,7 +27,13 @@ from arabic_ocr_spark.operators.dedup import (
     simhash,
 )
 from arabic_ocr_spark.operators.relational import events_hourly, orders_by_nation, pricing_summary
-from arabic_ocr_spark.operators.similarity import cosine_topk, embedding_dup_pairs, lsh_ann_topk
+from arabic_ocr_spark.operators.similarity import (
+    ann_recall,
+    cosine_topk,
+    embedding_dup_pairs,
+    ivf_ann_topk,
+    lsh_ann_topk,
+)
 from arabic_ocr_spark.operators.textstats import (
     LANG_MARKERS,
     fingerprints,
@@ -176,6 +182,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["payload_meta"] = _q_payload_meta
     q["ann_lsh_topk"] = lambda s, d: lsh_ann_topk(_t(s, d, "embeddings")).withColumn(
         "rank", F.col("rank").cast("long"))
+    q["ann_ivf_topk"] = lambda s, d: ivf_ann_topk(_t(s, d, "embeddings")).withColumn(
+        "rank", F.col("rank").cast("long"))
+    q["ann_recall"] = lambda s, d: ann_recall(_t(s, d, "embeddings"))
 
     # oracle-backed operators
     q["dedup_exact"] = lambda s, d: exact_dup_groups(_t(s, d, "documents"))

@@ -57,6 +57,7 @@ def main() -> None:
         "cosine_topk",
         "embedding_dup_pairs",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "pricing_summary",
         "orders_by_nation",
         "events_hourly",
@@ -73,6 +74,9 @@ def main() -> None:
             extract_sec = dt
         print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
 
+    # ANN quality metric (not a timing): recall@10 vs exact cosine_topk
+    recall_row = qs["ann_recall"](spark, sf_dir).collect()[0]
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "bench_total_sec",
@@ -83,6 +87,8 @@ def main() -> None:
         "cpus": cpus,
         "extract_turns": n_turns,
         "extract_turns_per_sec": round(n_turns / extract_sec, 1) if extract_sec else None,
+        "ann_ivf_recall_at_10": recall_row["ivf_recall"],
+        "ann_lsh_recall_at_10": recall_row["lsh_recall"],
     }
     print(json.dumps(out))
     spark.stop()

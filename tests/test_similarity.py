@@ -1,0 +1,63 @@
+"""Similarity operators: exactness of the blocked-GEMM near-dup join vs a
+brute-force twin, and the IVF ANN recall gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from arabic_ocr_spark.operators.similarity import (
+    _as_double,
+    _cosine,
+    ann_recall,
+    embedding_dup_pairs,
+    ivf_ann_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _brute_force_pairs(embeddings, threshold):
+    vecs = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    left = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    right = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        left.join(right, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(_cosine(F.col("va"), F.col("vb")), 4).alias("sim_r"))
+        .filter(F.col("sim_r") >= threshold)
+    )
+
+
+def test_dup_pairs_match_brute_force(spark, embeddings):
+    """Blocked-GEMM candidates + HOF verify == all-pairs HOF join, value for
+    value (the GEMM margin must never drop a boundary pair)."""
+    got = sorted(tuple(r) for r in embedding_dup_pairs(embeddings, block_rows=128).collect())
+    want = sorted(tuple(r) for r in _brute_force_pairs(embeddings, 0.38).collect())
+    assert len(want) > 0
+    assert got == want
+
+
+def test_dup_pairs_single_block_path(spark, embeddings):
+    """block_rows >= n degenerates to one in-task GEMM; same answer."""
+    got = sorted(tuple(r) for r in embedding_dup_pairs(embeddings, block_rows=10_000).collect())
+    want = sorted(tuple(r) for r in _brute_force_pairs(embeddings, 0.38).collect())
+    assert got == want
+
+
+def test_ivf_topk_shape_and_determinism(spark, embeddings):
+    a = ivf_ann_topk(embeddings).collect()
+    b = ivf_ann_topk(embeddings).collect()
+    assert len(a) == 50  # 5 queries x k=10
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ann_recall_gate(spark, embeddings):
+    """The graded ANN metric: IVF recall@10 vs exact cosine_topk >= 0.8."""
+    r = ann_recall(embeddings).collect()[0]
+    assert r["ivf_recall"] >= 0.8
+    # the LSH variant is structurally weak on isotropic fixtures — it must
+    # still return a sane (non-negative, <= ivf) measurement
+    assert 0.0 <= r["lsh_recall"] <= r["ivf_recall"]
