@@ -1,6 +1,10 @@
 """Feature extraction + 1-NN classifier semantics (SURVEY.md §2.6)."""
 
+import json
+import os
+
 import numpy as np
+import pytest
 
 from arabic_ocr_spark.kernel.classifier import CharModel, match_feat_to_char
 from arabic_ocr_spark.kernel.features import (
@@ -150,3 +154,81 @@ def test_model_save_load_roundtrip(tmp_path):
     again = CharModel.load(p)
     assert again.to_raw() == model.to_raw()
     assert again.n_pairs == 1
+
+
+# ---------------------------------------------------------------------------
+# interop with the reference's ACTUAL trained artifact
+# (/root/reference/config_map.json; loader semantics integrator.py:163-170,
+# nearest-neighbour scan integrator.py:173-200)
+# ---------------------------------------------------------------------------
+
+REFERENCE_MODEL = "/root/reference/config_map.json"
+
+
+def _reference_scan(raw: dict, fv: list) -> str:
+    """Serial mimic of the reference's match loop: strict-< linear scan
+    (first minimum wins), early exit at distance 0, '' for missing buckets,
+    composite replacement at the end."""
+    score = str(fv[0])
+    out = ""
+    if score in raw:
+        min_dist = 5265644664664
+        for char, cfv in raw[score]:
+            d = sum((a - b) ** 2 for a, b in zip(fv, cfv)) ** 0.5
+            if d < min_dist:
+                min_dist = d
+                out = char
+            if min_dist == 0:
+                break
+    return out.replace("L", "لا")
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_MODEL), reason="reference artifact absent")
+def test_reference_artifact_loads_with_pinned_shape():
+    """On-disk format interchangeability: the reference's real 1.4 MB
+    artifact loads through CharModel.from_raw with the documented shape."""
+    with open(REFERENCE_MODEL, encoding="utf-8") as f:
+        raw = json.load(f)
+    model = CharModel.from_raw(raw)
+    assert len(model.buckets) == 311
+    assert model.n_pairs == 32151
+    # every bucket restructures to an aligned (n x 9) float matrix
+    for score, (mat, labels) in model.buckets.items():
+        assert mat.shape == (len(labels), 9)
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_MODEL), reason="reference artifact absent")
+def test_reference_artifact_classification_parity():
+    """1-NN results on the real artifact equal the reference's linear scan,
+    including the first-minimum tie-break on its duplicated-fv buckets."""
+    with open(REFERENCE_MODEL, encoding="utf-8") as f:
+        raw = json.load(f)
+    model = CharModel.from_raw(raw)
+
+    probes = []
+    for score in list(raw)[:40]:
+        pairs = raw[score]
+        probes.append(list(pairs[-1][1]))          # exact member -> distance 0 path
+        fv = list(pairs[len(pairs) // 2][1])
+        fv = [fv[0]] + [x + 0.5 for x in fv[1:]]   # off-manifold -> real argmin scan
+        probes.append(fv)
+    # a probe equidistant from >= 2 pairs with DIFFERENT labels pins the
+    # first-minimum tie-break on real data
+    tie_pinned = 0
+    for score, pairs in raw.items():
+        seen = {}
+        for char, cfv in pairs:
+            key = tuple(cfv)
+            if key in seen and seen[key] != char:
+                probes.append(list(cfv))
+                tie_pinned += 1
+                break
+            seen.setdefault(key, char)
+        if tie_pinned >= 3:
+            break
+    assert tie_pinned >= 1  # the real artifact does contain such ties
+
+    for fv in probes:
+        got = match_feat_to_char(model, [fv])
+        want = _reference_scan(raw, fv)
+        assert got == want, (fv, got, want)
