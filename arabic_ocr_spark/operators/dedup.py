@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["exact_dup_groups", "minhash_signatures", "lsh_candidate_pairs",
-           "jaccard_verified_pairs", "simhash", "dedup_groups"]
+           "jaccard_verified_pairs", "simhash", "min_label_components", "dedup_groups"]
 
 
 def exact_dup_groups(docs: DataFrame) -> DataFrame:
@@ -123,35 +123,45 @@ def jaccard_verified_pairs(docs: DataFrame, k: int = 7, num_hashes: int = 8,
     return j.filter(F.col("jaccard") >= threshold)
 
 
-def dedup_groups(docs: DataFrame, k: int = 7, num_hashes: int = 8,
-                 band_size: int = 2, threshold: float = 0.6,
-                 max_iters: int = 20) -> DataFrame:
-    """Near-duplicate GROUPS: connected components over the Jaccard-verified
-    pair graph; every document gets its component's minimum doc_id as
-    group_rep (singletons map to themselves).
+def min_label_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over an undirected pair graph (doc_a, doc_b):
+    returns (doc_a, rep) with rep = the component's minimum node id, for
+    every node appearing in `pairs`.
 
-    Distributed CC via iterative minimum-label propagation with a driver
-    fixpoint loop — O(diameter) joins, each a small shuffle over the edge
-    set only (the full corpus joins in exactly once at the end).  Dedup
-    graphs are overwhelmingly tiny cliques, so 2-3 iterations converge;
-    max_iters bounds adversarial chains."""
-    pairs = jaccard_verified_pairs(docs, k, num_hashes, band_size, threshold).select("doc_a", "doc_b")
-    edges = pairs.unionAll(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
-    edges = edges.localCheckpoint()  # cut the (nondeterministic-cost) LSH lineage once
+    Distributed CC as minimum-label propagation WITH POINTER JUMPING: each
+    round a node takes the min of its neighbours' labels (one hop) and then
+    its label's own label (rep <- rep(rep), halving pointer chains), so
+    convergence is O(log diameter) rounds rather than O(diameter) — a
+    100-node duplicate chain converges in ~7 rounds, not 100.  Each round
+    shuffles the edge and label tables only, never the corpus, and
+    localCheckpoint cuts the growing lineage.  Raises if max_iters rounds
+    did not reach the fixpoint — silently returning partial labels would
+    corrupt downstream keep/drop decisions."""
+    edges = pairs.select("doc_a", "doc_b").unionAll(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    edges = edges.localCheckpoint()  # cut the (nondeterministic-cost) upstream lineage once
 
     labels = edges.groupBy("doc_a").agg(F.min("doc_b").alias("rep")).select(
         "doc_a", F.least("doc_a", "rep").alias("rep")
     )
+    changed = -1
     for _ in range(max_iters):
-        # rep <- min(rep, min over neighbours' rep)
+        # hop: rep <- min(rep, min over neighbours' rep)
         neigh = (
             edges.join(labels.withColumnRenamed("doc_a", "doc_b").withColumnRenamed("rep", "nrep"), "doc_b")
             .groupBy("doc_a")
             .agg(F.min("nrep").alias("min_nrep"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neigh, "doc_a", "left")
             .select("doc_a", F.least("rep", F.coalesce("min_nrep", "rep")).alias("rep"))
+        )
+        # jump: rep <- min(rep, rep(rep)) — pointer doubling
+        parents = stepped.select(F.col("doc_a").alias("rep"), F.col("rep").alias("grand"))
+        new_labels = (
+            stepped.join(parents, "rep", "left")
+            .select("doc_a", F.least("rep", F.coalesce("grand", "rep")).alias("rep"))
         ).localCheckpoint()
         changed = (
             new_labels.withColumnRenamed("rep", "new_rep")
@@ -162,6 +172,24 @@ def dedup_groups(docs: DataFrame, k: int = 7, num_hashes: int = 8,
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"min_label_components did not converge within {max_iters} rounds "
+            f"({changed} labels still moving); raise max_iters"
+        )
+    return labels
+
+
+def dedup_groups(docs: DataFrame, k: int = 7, num_hashes: int = 8,
+                 band_size: int = 2, threshold: float = 0.6,
+                 max_iters: int = 20) -> DataFrame:
+    """Near-duplicate GROUPS: connected components over the Jaccard-verified
+    pair graph; every document gets its component's minimum doc_id as
+    group_rep (singletons map to themselves).  See min_label_components for
+    the distributed CC scheme; the full corpus joins in exactly once at the
+    end."""
+    pairs = jaccard_verified_pairs(docs, k, num_hashes, band_size, threshold).select("doc_a", "doc_b")
+    labels = min_label_components(pairs, max_iters)
     return (
         docs.select("doc_id")
         .join(labels.withColumnRenamed("doc_a", "doc_id"), "doc_id", "left")

@@ -198,15 +198,24 @@ def build_model(out_path: str | None = None, skew_rounds: int = DEFAULT_SKEW_ROU
 
 
 def train_spark(spark, pages: list[list[str]], out_path: str | None = None) -> CharModel:
-    """Distributed trainer: pages -> (score, char, fv) rows -> dropDuplicates
-    -> driver merge.  Set-union semantics make this order-independent and
-    identical to the serial result up to bucket-internal pair order (pairs
-    are sorted for a canonical artifact)."""
+    """Distributed trainer: pages -> (score, char, fv, encounter-seq) rows
+    -> min-seq dedup -> driver merge in SERIAL INSERTION ORDER.
+
+    The serial trainer appends each new (char, fv) pair to its bucket at
+    first encounter, and 1-NN resolution keeps the FIRST minimum — so
+    bucket-internal order is semantics, not cosmetics: a distance tie
+    resolves to whichever pair was inserted earlier.  Each emitted pair
+    therefore carries its (page, word, char) position; the per-group MIN of
+    that triple is the pair's first serial encounter, and sorting by it
+    reconstructs the serial bucket order exactly.  The artifact is
+    bit-identical to train_serial on the same pages, ties included, at any
+    parallelism."""
     from pyspark.sql import Row, functions as F  # local import: kernel stays Spark-free
 
     sc = spark.sparkContext
 
-    def emit(page_lines: list[str]):
+    def emit(ipage):
+        pidx, page_lines = ipage
         gt_words = [w for ln in page_lines for w in ln.split()]
         img, _ = compose_text_image(page_lines)
         wi = 0
@@ -220,20 +229,25 @@ def train_spark(spark, pages: list[list[str]], out_path: str | None = None) -> C
                     rev = list(reversed(fvs))
                     for i, ch in enumerate(word):
                         if validate_fv(ch, rev[i]):
-                            out.append((int(rev[i][0]), ch, [float(x) for x in rev[i]]))
+                            out.append(
+                                (int(rev[i][0]), ch, [float(x) for x in rev[i]], pidx, wi, i)
+                            )
             wi += 1
         return out
 
-    rows = sc.parallelize(pages, max(2, min(len(pages), 64))).flatMap(emit)
-    df = spark.createDataFrame(rows.map(lambda t: Row(score=t[0], char=t[1], fv=t[2])))
+    rows = sc.parallelize(list(enumerate(pages)), max(2, min(len(pages), 64))).flatMap(emit)
+    df = spark.createDataFrame(
+        rows.map(lambda t: Row(score=t[0], char=t[1], fv=t[2], p=t[3], w=t[4], c=t[5]))
+    )
     pairs = (
         df.withColumn("fv_key", F.concat_ws(",", F.col("fv").cast("array<string>")))
-        .dropDuplicates(["score", "char", "fv_key"])
-        .select("score", "char", "fv")
+        .groupBy("score", "char", "fv_key")
+        .agg(F.min(F.struct("p", "w", "c")).alias("seq"), F.first("fv").alias("fv"))
+        .select("score", "char", "fv", "seq")
         .collect()
     )
     raw: dict = {}
-    for r in sorted(pairs, key=lambda r: (r.score, r.char, r.fv)):
+    for r in sorted(pairs, key=lambda r: (r.seq.p, r.seq.w, r.seq.c)):
         raw.setdefault(str(r.score), []).append([r.char, list(r.fv)])
     model = CharModel.from_raw(raw)
     if out_path:
