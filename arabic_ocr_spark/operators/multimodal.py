@@ -1,0 +1,111 @@
+"""Multimodal payload operators over the transcripts table.
+
+The `text` column carries an opaque binary document per turn (the GRY1
+envelope, sources/codec.py).  Two tiers:
+
+- `payload_meta`: envelope HEADER fields (height, width, valid) decoded
+  entirely JVM-side — try_to_binary + byte slicing + hex arithmetic inside
+  whole-stage codegen, zero Python.  At 100 TB this is the cheap schema/
+  validity sweep you run before committing any Python-side pixel work.
+- `payload_features`: per-image INK statistics (ink ratio, line count and
+  mean line height from the horizontal projection) via an Arrow-batched
+  mapInPandas kernel reusing the extraction engine's imgops — the quality-
+  filter features for image-bearing turns.  Decode of richer media (PNG,
+  audio frames) would slot into the same batch shape; only the envelope
+  codec is real in this environment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["payload_meta", "payload_features", "PAYLOAD_FEATURE_SCHEMA"]
+
+_HEADER_LEN = 8  # b"GRY1" + u16le height + u16le width
+
+
+def _u16le(bin_col, pos: int):
+    """Little-endian u16 at 1-based byte offset `pos` of a binary column,
+    via hex-nibble swap (no JVM UDF, stays in codegen)."""
+    h = F.hex(F.substring(bin_col, pos, 2))  # e.g. 0x3400 -> '3400' (LE bytes)
+    swapped = F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+    return F.conv(swapped, 16, 10).cast("int")
+
+
+def payload_meta(df: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, height, width, valid) from the payload envelope
+    header — JVM-side only.  Invalid/blank/truncated payloads get
+    (0, 0, false), byte-compatible with the Python decoder's None."""
+    raw = F.try_to_binary(F.col("text"), F.lit("base64"))
+    h = _u16le(raw, 5)
+    w = _u16le(raw, 7)
+    ok = (
+        raw.isNotNull()
+        & (F.length(raw) >= _HEADER_LEN)
+        & (F.substring(raw, 1, 4) == F.lit(b"GRY1"))
+        & (h > 0)
+        & (w > 0)
+        & (F.length(raw) == _HEADER_LEN + h * w)
+    )
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        F.when(ok, h).otherwise(F.lit(0)).alias("height"),
+        F.when(ok, w).otherwise(F.lit(0)).alias("width"),
+        F.coalesce(ok, F.lit(False)).alias("valid"),
+    )
+
+
+PAYLOAD_FEATURE_SCHEMA = (
+    "conv_id string, turn_idx int, height int, width int, valid boolean, "
+    "ink_ratio double, n_lines int, mean_line_height double, quality_ok boolean"
+)
+
+
+def payload_features(df: DataFrame, min_ink: float = 0.005, max_ink: float = 0.5) -> DataFrame:
+    """Per-image ink statistics as a quality filter for image-bearing turns.
+
+    ink_ratio: fraction of ink pixels after the kernel's binarize+invert;
+    n_lines / mean_line_height: text-line estimate from the horizontal
+    projection's nonzero runs (the engine's own line segmentation primitive,
+    kernel/imgops.py) — a page whose ink ratio is implausible or that has no
+    detectable lines is flagged quality_ok=false and can be dropped before
+    the (much more expensive) OCR kernel runs."""
+    import numpy as np
+    import pandas as pd
+
+    from ..kernel.imgops import binarize_inv, horizontal_projection
+    from ..sources.codec import decode_payload
+
+    cols = df.select("conv_id", "turn_idx", "text")
+
+    def feats(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "conv_id": pdf["conv_id"], "turn_idx": pdf["turn_idx"],
+                "height": np.zeros(n, dtype=np.int32), "width": np.zeros(n, dtype=np.int32),
+                "valid": np.zeros(n, dtype=bool), "ink_ratio": np.zeros(n),
+                "n_lines": np.zeros(n, dtype=np.int32), "mean_line_height": np.zeros(n),
+                "quality_ok": np.zeros(n, dtype=bool),
+            }
+            for i, t in enumerate(pdf["text"]):
+                img = decode_payload(t)
+                if img is None:
+                    continue
+                out["height"][i], out["width"][i] = img.shape
+                out["valid"][i] = True
+                binary = binarize_inv(img)
+                ink = float(np.count_nonzero(binary)) / binary.size
+                out["ink_ratio"][i] = round(ink, 6)
+                hp = horizontal_projection(binary)
+                nz = hp > 0
+                # nonzero-run starts = rising edges of the projection mask
+                starts = np.flatnonzero(nz & ~np.concatenate(([False], nz[:-1])))
+                out["n_lines"][i] = len(starts)
+                if len(starts):
+                    out["mean_line_height"][i] = round(float(np.count_nonzero(nz)) / len(starts), 4)
+                out["quality_ok"][i] = bool(len(starts) > 0 and min_ink <= ink <= max_ink)
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(feats, PAYLOAD_FEATURE_SCHEMA)

@@ -51,6 +51,8 @@ def main() -> None:
         "dedup_groups",
         "simhash",
         "token_stats",
+        "payload_meta",
+        "payload_features",
         "quality",
         "lang_id",
         "fingerprint",

@@ -1,0 +1,75 @@
+"""Multimodal payload operators: JVM-side header decode parity with the
+Python codec, and ink-feature values pinned against the serial kernel."""
+
+import numpy as np
+import pytest
+
+from arabic_ocr_spark.kernel.imgops import binarize_inv, horizontal_projection
+from arabic_ocr_spark.operators.multimodal import payload_features, payload_meta
+from arabic_ocr_spark.sources.codec import decode_payload, encode_payload
+from arabic_ocr_spark.sources.glyphs import compose_text_image
+
+
+@pytest.fixture(scope="module")
+def payload_df(spark):
+    img1, _ = compose_text_image(["abc defg", "hij Lmn"])
+    img2, _ = compose_text_image(["qrs"])
+    blank = np.zeros((5, 9), dtype=np.uint8)
+    rows = [
+        ("c0", 0, encode_payload(img1)),
+        ("c0", 1, encode_payload(img2)),
+        ("c0", 2, encode_payload(blank)),          # valid envelope, no ink
+        ("c1", 0, ""),                             # blank turn
+        ("c1", 1, "!!!not-base64!!!"),             # undecodable
+        ("c1", 2, encode_payload(img1)[:-10]),     # truncated
+        ("c1", 3, "QUJDREVGR0g="),                 # valid b64, wrong magic
+    ]
+    return spark.createDataFrame(rows, "conv_id string, turn_idx int, text string"), rows
+
+
+def test_payload_meta_matches_python_codec(spark, payload_df):
+    df, rows = payload_df
+    got = {(r["conv_id"], r["turn_idx"]): (r["height"], r["width"], r["valid"])
+           for r in payload_meta(df).collect()}
+    for conv_id, turn_idx, text in rows:
+        img = decode_payload(text)
+        want = (img.shape[0], img.shape[1], True) if img is not None else (0, 0, False)
+        assert got[(conv_id, turn_idx)] == want, (conv_id, turn_idx)
+
+
+def test_payload_meta_is_jvm_only(spark, payload_df):
+    df, _ = payload_df
+    plan = payload_meta(df)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_payload_features_pinned_vs_serial_kernel(spark, payload_df):
+    df, rows = payload_df
+    got = {(r["conv_id"], r["turn_idx"]): r for r in payload_features(df).collect()}
+    n_valid = 0
+    for conv_id, turn_idx, text in rows:
+        r = got[(conv_id, turn_idx)]
+        img = decode_payload(text)
+        if img is None:
+            assert (r["valid"], r["ink_ratio"], r["n_lines"], r["quality_ok"]) == (
+                False, 0.0, 0, False)
+            continue
+        n_valid += 1
+        binary = binarize_inv(img)
+        ink = np.count_nonzero(binary) / binary.size
+        assert r["valid"] and r["ink_ratio"] == round(float(ink), 6)
+        hp = horizontal_projection(binary)
+        nz = hp > 0
+        starts = np.flatnonzero(nz & ~np.concatenate(([False], nz[:-1])))
+        assert r["n_lines"] == len(starts)
+        if len(starts):
+            assert r["mean_line_height"] == round(float(np.count_nonzero(nz)) / len(starts), 4)
+        assert r["quality_ok"] == bool(len(starts) > 0 and 0.005 <= ink <= 0.5)
+    assert n_valid == 3
+
+
+def test_quality_filter_separates_real_pages_from_junk(spark, payload_df):
+    df, _ = payload_df
+    ok = {(r["conv_id"], r["turn_idx"]) for r in
+          payload_features(df).filter("quality_ok").collect()}
+    assert ok == {("c0", 0), ("c0", 1)}  # real pages pass, blank/junk don't

@@ -26,7 +26,7 @@ def entry_mod():
 
 
 def test_extraction_plan_prunes_and_single_shuffle(spark, entry_mod):
-    plan = _formatted(spark, entry_mod._extraction_plan(spark, "/root/testdata/sf0.001"))
+    plan = _formatted(spark, entry_mod._extraction_plan(spark, "/root/testdata/sf0.001", cached=False))
     # column pruning reaches the scan: only the 3 needed columns are read
     assert "ReadSchema: struct<conv_id:string,turn_idx:int,text:string>" in plan
     # payload-present filter pushed into the parquet reader
