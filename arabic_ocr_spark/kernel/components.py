@@ -37,15 +37,39 @@ def label_components(img: np.ndarray) -> tuple[int, np.ndarray, np.ndarray]:
     fgp = np.zeros((h, w + 1), dtype=np.int8)
     fgp[:, :w] = fg
     flat = fgp.ravel()
-    d = np.diff(flat, prepend=np.int8(0))
+    d = np.empty(flat.shape, dtype=np.int8)
+    d[0] = flat[0]
+    np.subtract(flat[1:], flat[:-1], out=d[1:])
     run_starts = np.flatnonzero(d == 1)
     run_ends = np.flatnonzero(d == -1)  # exclusive; sentinel guarantees closure
     wp = w + 1
     rows = run_starts // wp
     s_cols = run_starts % wp
     e_cols = ((run_ends - 1) % wp) + 1
+    n_runs = len(run_starts)
 
-    parent = np.arange(len(run_starts) + 1, dtype=np.int64)  # union-find over run ids (1-based)
+    if n_runs <= 96:
+        # fast path for the dominant caller (per-character slices, a
+        # handful of runs): plain-Python union-find over int lists beats
+        # the vectorized machinery's fixed numpy-call overhead by ~5x
+        return _label_small(img, h, w, wp, run_starts.tolist(), run_ends.tolist(),
+                            rows.tolist(), s_cols.tolist(), e_cols.tolist())
+
+    # --- adjacency, vectorized: runs within a row are disjoint and sorted,
+    # so the 8-connected overlaps of run i with the PREVIOUS row's runs form
+    # a contiguous range [lo_i, hi_i): first prev-run with e > s_i - 1,
+    # last prev-run with s < e_i + 1.  searchsorted against the global
+    # raster-sorted (row-major) run arrays gives both bounds in one shot
+    # because a row's runs are contiguous in them.
+    row_ptr = np.searchsorted(rows, np.arange(h + 1))  # run-index range per row
+    prev_lo = np.searchsorted(run_ends, (rows - 1) * wp + s_cols, side="left")
+    prev_hi = np.searchsorted(run_starts, (rows - 1) * wp + e_cols + 1, side="left")
+    # clamp to the previous row's own runs (first-row runs get empty ranges)
+    lo = np.maximum(prev_lo, row_ptr[np.maximum(rows - 1, 0)])
+    hi = np.minimum(prev_hi, row_ptr[rows])
+    counts = np.maximum(hi - lo, 0)
+
+    parent = np.arange(n_runs + 1, dtype=np.int64)  # union-find over run ids (1-based)
 
     def find(x: int) -> int:
         while parent[x] != x:
@@ -53,48 +77,109 @@ def label_components(img: np.ndarray) -> tuple[int, np.ndarray, np.ndarray]:
             x = parent[x]
         return int(x)
 
-    prev_row = -2
-    prev_runs: list[tuple[int, int, int]] = []  # (s, e, run_id)
-    cur_runs: list[tuple[int, int, int]] = []
-    cur_row = -2
-    labels_flat = np.zeros(h * wp, dtype=np.int32)
-    for i in range(len(run_starts)):
-        y = int(rows[i])
-        if y != cur_row:
-            prev_runs, prev_row = (cur_runs, cur_row) if y == cur_row + 1 else ([], -2)
-            cur_runs, cur_row = [], y
-        s, e = int(s_cols[i]), int(e_cols[i])
-        rid = i + 1
-        if prev_row == y - 1:
-            for ps, pe, pr in prev_runs:
-                if ps < e + 1 and pe > s - 1:  # 8-conn overlap (extended by 1)
-                    ra, rb = find(rid), find(pr)
-                    if ra != rb:
-                        if ra < rb:
-                            parent[rb] = ra
-                        else:
-                            parent[ra] = rb
-        labels_flat[run_starts[i]:run_ends[i]] = rid
-        cur_runs.append((s, e, rid))
+    if counts.any():
+        # expand (i, j) overlap pairs: i repeated counts[i] times, j walking
+        # each i's [lo, hi) range — arange-minus-segment-offset trick
+        total = int(counts.sum())
+        left = np.repeat(np.arange(n_runs), counts) + 1
+        seg_off = np.repeat(np.cumsum(counts) - counts, counts)
+        j_idx = np.repeat(lo, counts) + (np.arange(total) - seg_off) + 1
+        for a, b in zip(left.tolist(), j_idx.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
 
-    n_runs = len(run_starts)
-    roots = np.array([find(i) for i in range(n_runs + 1)], dtype=np.int64)
-    # relabel roots in raster order of first encounter (runs are raster-ordered)
+    # full path compression, vectorized (pointer doubling)
+    while True:
+        grand = parent[parent]
+        if np.array_equal(grand, parent):
+            break
+        parent = grand
+    roots = parent
+
+    # paint run ids into the flat image without a Python loop: runs never
+    # touch (>= 1 background/sentinel cell between them), so a +rid at each
+    # start / -rid at each end cumsums to rid inside runs and 0 outside
+    rids = np.arange(1, n_runs + 1, dtype=np.int32)
+    delta = np.zeros(h * wp + 1, dtype=np.int32)
+    delta[run_starts] += rids
+    delta[run_ends] -= rids
+    labels_flat = np.cumsum(delta[:-1], dtype=np.int32)
+
+    # relabel roots in raster order of first encounter (runs are raster-
+    # ordered, so the first run whose root is r fixes r's final label)
+    root_of_run = roots[1:]
+    first_idx = np.sort(np.unique(root_of_run, return_index=True)[1])
     remap = np.zeros(n_runs + 1, dtype=np.int32)
-    run_len = (run_ends - run_starts).astype(np.int64)
-    next_label = 1
-    for i in range(n_runs):
-        r = roots[i + 1]
-        if remap[r] == 0:
-            remap[r] = next_label
-            next_label += 1
+    remap[root_of_run[first_idx]] = np.arange(1, len(first_idx) + 1, dtype=np.int32)
+    next_label = len(first_idx) + 1
     lut = remap[roots]
     labels = lut[labels_flat].reshape(h, wp)[:, :w]
 
+    run_len = (run_ends - run_starts).astype(np.int64)
     sizes = np.zeros(next_label, dtype=np.int64)
-    np.add.at(sizes, lut[np.arange(1, n_runs + 1)], run_len)
+    np.add.at(sizes, lut[1:], run_len)
     sizes[0] = img.size - sizes[1:].sum()
     return next_label, labels, sizes
+
+
+def _label_small(img, h, w, wp, rs, re_, rows_l, s_l, e_l):
+    """Pure-Python run merge for small run counts — identical semantics to
+    the vectorized path (min-root union, raster first-encounter labels)."""
+    n_runs = len(rs)
+    parent = list(range(n_runs + 1))
+
+    def findp(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    prev: list = []
+    cur: list = []
+    cur_row = -2
+    for i in range(n_runs):
+        y = rows_l[i]
+        if y != cur_row:
+            prev = cur if y == cur_row + 1 else []
+            cur = []
+            cur_row = y
+        s = s_l[i]
+        e = e_l[i]
+        for ps, pe, pr in prev:
+            if ps <= e and pe >= s:  # 8-connected overlap (ranges extended by 1)
+                ra, rb = findp(i + 1), findp(pr)
+                if ra != rb:
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+        cur.append((s, e, i + 1))
+
+    remap: dict[int, int] = {}
+    next_label = 1
+    lut = [0] * (n_runs + 1)
+    for i in range(1, n_runs + 1):
+        r = findp(i)
+        lab = remap.get(r)
+        if lab is None:
+            lab = remap[r] = next_label
+            next_label += 1
+        lut[i] = lab
+
+    labels_flat = np.zeros(h * wp, dtype=np.int32)
+    sizes = [0] * next_label
+    for i in range(n_runs):
+        lab = lut[i + 1]
+        labels_flat[rs[i]:re_[i]] = lab
+        sizes[lab] += re_[i] - rs[i]
+    labels = labels_flat.reshape(h, wp)[:, :w]
+    sizes_arr = np.asarray(sizes, dtype=np.int64)
+    sizes_arr[0] = img.size - int(sizes_arr[1:].sum())
+    return next_label, labels, sizes_arr
 
 
 def largest_label(sizes: np.ndarray, n_labels: int) -> int:

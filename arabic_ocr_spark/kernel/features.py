@@ -47,24 +47,31 @@ def horizontal_transitions(img: np.ndarray) -> np.ndarray:
 def get_interest_points(transitions_columns: np.ndarray, transitions_rows: np.ndarray, img: np.ndarray) -> list[tuple[int, int]]:
     """Midpoints of first/last transition per >=4-transition column (then
     row), kept when the midpoint pixel is background. Columns first, then
-    rows — the list order feeds the order-dependent labeling."""
+    rows — the list order feeds the order-dependent labeling.
+
+    Vectorized: first/last transition per line via argmax over the change
+    mask and its reverse (a >=4-transition line always has changes, so
+    argmax is well-defined)."""
     pts: list[tuple[int, int]] = []
-    for i in range(transitions_columns.shape[0]):
-        if transitions_columns[i] >= 4:
-            col = img[:, i]
-            tr = np.flatnonzero(col[1:] != col[:-1]) + 1
-            start_row, end_row = int(tr[0]), int(tr[-1])
-            pt = (int((start_row + end_row) / 2), i)
-            if img[pt[0]][pt[1]] == 0:
-                pts.append(pt)
-    for i in range(transitions_rows.shape[0]):
-        if transitions_rows[i] >= 4:
-            row = img[i, :]
-            tr = np.flatnonzero(row[1:] != row[:-1]) + 1
-            start_col, end_col = int(tr[0]), int(tr[-1])
-            pt = (i, int((start_col + end_col) / 2))
-            if img[pt[0]][pt[1]] == 0:
-                pts.append(pt)
+    h, w = img.shape
+
+    cols = np.flatnonzero(transitions_columns >= 4)
+    if len(cols) and h >= 2:
+        C = img[1:, cols] != img[:-1, cols]  # change at row k means transition index k+1
+        first = C.argmax(axis=0) + 1
+        last = (h - 1) - C[::-1, :].argmax(axis=0)
+        mid = (first + last) // 2
+        ok = img[mid, cols] == 0
+        pts.extend(zip(mid[ok].tolist(), cols[ok].tolist()))
+
+    rows = np.flatnonzero(transitions_rows >= 4)
+    if len(rows) and w >= 2:
+        R = img[rows, 1:] != img[rows, :-1]
+        first = R.argmax(axis=1) + 1
+        last = (w - 1) - R[:, ::-1].argmax(axis=1)
+        mid = (first + last) // 2
+        ok = img[rows, mid] == 0
+        pts.extend(zip(rows[ok].tolist(), mid[ok].tolist()))
     return pts
 
 

@@ -156,18 +156,14 @@ def contour_seg(image: np.ndarray, baseline_org: int, templates: list[TemplateSp
         leftmost_x = int(cnt[int(np.argmin(cnt[:, 0])), 0])
         character_indecies.append(leftmost_x)
 
-        x_points = cnt[:, 0].tolist()
-        y_points = cnt[:, 1].tolist()
+        x_arr = cnt[:, 0]
+        y_arr = cnt[:, 1]
 
         # raster of the contour points only (values are 255 on a binary image)
         img_cnt = np.zeros(image.shape, np.uint8)
-        img_cnt[cnt[:, 1], cnt[:, 0]] = image[cnt[:, 1], cnt[:, 0]]
-        # the drawn/thickened contour used by the trailing-glyph heuristic
-        cnt_mask = np.zeros(image.shape, dtype=bool)
-        cnt_mask[cnt[:, 1], cnt[:, 0]] = True
-        img_drawn = _plus_dilate(cnt_mask)
+        img_cnt[y_arr, x_arr] = image[y_arr, x_arr]
 
-        baseline = int(most_frequent(np.asarray(y_points)))
+        baseline = int(most_frequent(y_arr))
 
         # template suppression: all matches computed on the pristine raster,
         # then whitening / extra cuts applied
@@ -183,43 +179,36 @@ def contour_seg(image: np.ndarray, baseline_org: int, templates: list[TemplateSp
                 for p in points:
                     character_indecies.append(p + width)
 
-        # runs of >2 consecutive contour points with y in [baseline-1, baseline+2]
-        count = 0
-        flag = False
-        length_consective: list[int] = []
-        point_positions: list[int] = []
-        for i in range(len(y_points)):
-            near = y_points[i] in (baseline, baseline - 1, baseline + 1, baseline + 2)
-            if not flag:
-                if near:
-                    count = 1
-                    flag = True
-            else:
-                if not near:
-                    flag = False
-                    if count > 2:
-                        length_consective.append(count)
-                        point_positions.append(i)
-                else:
-                    count += 1
+        # runs of >2 consecutive contour points with y in [baseline-1,
+        # baseline+2] — vectorized run detection; a run still open at the
+        # end of the point list is dropped, as in the reference's scan
+        near = (
+            (y_arr == baseline) | (y_arr == baseline - 1)
+            | (y_arr == baseline + 1) | (y_arr == baseline + 2)
+        ).astype(np.int8)
+        dn = np.empty(near.shape, dtype=np.int8)
+        dn[0] = near[0]
+        np.subtract(near[1:], near[:-1], out=dn[1:])
+        run_starts = np.flatnonzero(dn == 1)
+        run_ends = np.flatnonzero(dn == -1)  # exclusive; unterminated run dropped
+        run_starts = run_starts[: len(run_ends)]
+        keep = (run_ends - run_starts) > 2
+        point_positions = run_ends[keep]
+        length_consective = (run_ends - run_starts)[keep]
 
         segment_points: list[int] = []
         baseline_local = baseline
         if abs(baseline - baseline_org) > 2:
             baseline_local = baseline_org
 
-        j = 0
-        for i in point_positions:
-            sub_x = x_points[i - length_consective[j]:i]
-            j += 1
-            candidates = []
-            for x in sub_x:
-                sub_above = img_cnt[int(baseline_local / 2):baseline_local - 1, x]
-                sub_below = img_cnt[baseline_local + 2:, x]
-                if 255 not in sub_above and 255 not in sub_below:
-                    candidates.append(x)
-            if candidates:
-                segment_points.append(candidates[len(candidates) // 2])
+        above = img_cnt[int(baseline_local / 2):baseline_local - 1, :]
+        below = img_cnt[baseline_local + 2:, :]
+        col_clear = ~np.logical_or((above == 255).any(axis=0), (below == 255).any(axis=0))
+        for i, ln in zip(point_positions.tolist(), length_consective.tolist()):
+            sub_x = x_arr[i - ln:i]
+            candidates = sub_x[col_clear[sub_x]]
+            if len(candidates):
+                segment_points.append(int(candidates[len(candidates) // 2]))
 
         if len(segment_points) < 1:
             continue
@@ -240,6 +229,12 @@ def contour_seg(image: np.ndarray, baseline_org: int, templates: list[TemplateSp
         last_seg_point = segment_points[0]
         last_seg_hp = horizontal_projection(img_cnt[:baseline, last_seg_point:next_last_seg_point])
         first_non_zero_index = int((last_seg_hp != 0).argmax())
+
+        # the drawn/thickened contour, built only here: the trailing-glyph
+        # heuristic is its sole consumer and most contours exit earlier
+        cnt_mask = np.zeros(image.shape, dtype=bool)
+        cnt_mask[y_arr, x_arr] = True
+        img_drawn = _plus_dilate(cnt_mask)
 
         if (
             (first_non_zero_index / last_seg_hp.shape[0]) < 0.85
