@@ -137,10 +137,13 @@ def min_label_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     localCheckpoint cuts the growing lineage.  Raises if max_iters rounds
     did not reach the fixpoint — silently returning partial labels would
     corrupt downstream keep/drop decisions."""
-    edges = pairs.select("doc_a", "doc_b").unionAll(
+    # checkpoint the PAIR LIST first: the upstream subtree (LSH + verify for
+    # dedup_groups) is the expensive part, and the symmetrizing union below
+    # would otherwise evaluate it once per branch
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
+    edges = pairs.unionAll(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
-    edges = edges.localCheckpoint()  # cut the (nondeterministic-cost) upstream lineage once
+    ).localCheckpoint()  # the loop re-reads edges every round
 
     labels = edges.groupBy("doc_a").agg(F.min("doc_b").alias("rep")).select(
         "doc_a", F.least("doc_a", "rep").alias("rep")
