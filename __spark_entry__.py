@@ -26,7 +26,7 @@ from arabic_ocr_spark.operators.dedup import (
     lsh_candidate_pairs,
     simhash,
 )
-from arabic_ocr_spark.operators.multimodal import payload_features, payload_meta
+from arabic_ocr_spark.operators.multimodal import payload_features, payload_meta, payload_thumbnail
 from arabic_ocr_spark.operators.relational import events_hourly, orders_by_nation, pricing_summary
 from arabic_ocr_spark.operators.similarity import (
     ann_recall,
@@ -186,6 +186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_lineage"] = _q_extract_lineage
     q["payload_meta"] = _q_payload_meta
     q["payload_features"] = _q_payload_features
+    q["payload_thumbnail"] = lambda s, d: payload_thumbnail(
+        s.read.parquet(os.path.join(synth_dir_for(d), "transcripts.parquet")))
     q["ann_lsh_topk"] = lambda s, d: lsh_ann_topk(_t(s, d, "embeddings")).withColumn(
         "rank", F.col("rank").cast("long"))
     q["ann_ivf_topk"] = lambda s, d: ivf_ann_topk(_t(s, d, "embeddings")).withColumn(

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["payload_meta", "payload_features", "PAYLOAD_FEATURE_SCHEMA"]
+__all__ = ["payload_meta", "payload_features", "payload_thumbnail", "PAYLOAD_FEATURE_SCHEMA"]
 
 _HEADER_LEN = 8  # b"GRY1" + u16le height + u16le width
 
@@ -109,3 +109,40 @@ def payload_features(df: DataFrame, min_ink: float = 0.005, max_ink: float = 0.5
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(feats, PAYLOAD_FEATURE_SCHEMA)
+
+
+def payload_thumbnail(df: DataFrame, max_side: int = 32) -> DataFrame:
+    """Binary->binary payload transform: decimate each image so its longer
+    side is <= max_side (stride subsampling, pure NumPy) and re-encode into
+    the same envelope.  The resize/frame-sample shape of a multimodal
+    pipeline: opaque payload in, opaque payload out, metadata alongside —
+    heavier codecs (PNG/JPEG/audio) would slot into the identical batch
+    path.  Invalid payloads pass through as empty strings."""
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.codec import decode_payload, encode_payload
+
+    cols = df.select("conv_id", "turn_idx", "text")
+
+    def thumbs(batches):
+        for pdf in batches:
+            out_text, hs, ws, valid = [], [], [], []
+            for t in pdf["text"]:
+                img = decode_payload(t)
+                if img is None:
+                    out_text.append(""); hs.append(0); ws.append(0); valid.append(False)
+                    continue
+                stride = max(1, -(-max(img.shape) // max_side))
+                thumb = np.ascontiguousarray(img[::stride, ::stride])
+                out_text.append(encode_payload(thumb))
+                hs.append(int(thumb.shape[0])); ws.append(int(thumb.shape[1]))
+                valid.append(True)
+            yield pd.DataFrame({
+                "conv_id": pdf["conv_id"], "turn_idx": pdf["turn_idx"],
+                "thumb": out_text, "height": hs, "width": ws, "valid": valid,
+            })
+
+    return cols.mapInPandas(
+        thumbs, "conv_id string, turn_idx int, thumb string, height int, width int, valid boolean"
+    )

@@ -73,3 +73,23 @@ def test_quality_filter_separates_real_pages_from_junk(spark, payload_df):
     ok = {(r["conv_id"], r["turn_idx"]) for r in
           payload_features(df).filter("quality_ok").collect()}
     assert ok == {("c0", 0), ("c0", 1)}  # real pages pass, blank/junk don't
+
+
+def test_payload_thumbnail_roundtrips_envelope(spark, payload_df):
+    from arabic_ocr_spark.operators.multimodal import payload_thumbnail
+
+    df, rows = payload_df
+    got = {(r["conv_id"], r["turn_idx"]): r for r in payload_thumbnail(df, max_side=8).collect()}
+    for conv_id, turn_idx, text in rows:
+        r = got[(conv_id, turn_idx)]
+        img = decode_payload(text)
+        if img is None:
+            assert r["thumb"] == "" and not r["valid"]
+            continue
+        stride = max(1, -(-max(img.shape) // 8))
+        want = img[::stride, ::stride]
+        thumb = decode_payload(r["thumb"])
+        assert thumb is not None and r["valid"]
+        assert thumb.shape == want.shape == (r["height"], r["width"])
+        assert max(thumb.shape) <= 8
+        assert np.array_equal(thumb, want)

@@ -57,3 +57,28 @@ def test_whiten_inset_action_runs():
     spec = TemplateSpec("mid", tpl, threshold=0.3, action="whiten_inset")
     cuts = contour_seg(img, 9, [spec])
     assert cuts == sorted(cuts)
+
+
+def test_reference_template_table_pinned():
+    """The reference's exact (name, threshold, action) tuning table
+    (preprocess.py:329-394) is preserved as data and binds to any
+    alphabet's images in the reference's match order."""
+    import numpy as np
+
+    from arabic_ocr_spark.kernel.reference_templates import (
+        REFERENCE_TEMPLATE_TABLE,
+        build_specs,
+    )
+
+    enabled = [(n, t, a) for n, t, a, e in REFERENCE_TEMPLATE_TABLE if e]
+    assert len(REFERENCE_TEMPLATE_TABLE) == 13
+    assert len(enabled) == 10  # the reference actively matches ten
+    assert ("seen_mid", 0.80, "whiten_inset") in enabled
+    assert ("ya2_end", 0.75, "cut_after") in enabled
+    assert sum(1 for _n, _t, a in enabled if a == "whiten") == 8
+
+    comb = np.zeros((8, 6), dtype=np.uint8)
+    comb[2:6, 1:5] = 255
+    specs = build_specs({"kaf": comb, "ya2_end": comb, "nonexistent": comb})
+    assert [s.name for s in specs] == ["kaf", "ya2_end"]  # reference order
+    assert specs[0].threshold == 0.70 and specs[1].action == "cut_after"
