@@ -32,6 +32,7 @@ repartition by chunk — the kernel itself is map-only.
 from __future__ import annotations
 
 import glob
+import math
 import os
 import shutil
 import time
@@ -45,7 +46,8 @@ from .kernel.pipeline import extract_page
 from .kernel.segmentation import TemplateSpec
 from .sources.codec import decode_payload
 
-__all__ = ["ExtractionJobConfig", "plan_extraction", "run_extraction", "read_lineage"]
+__all__ = ["ExtractionJobConfig", "derive_salt_buckets", "plan_extraction",
+           "run_extraction", "read_lineage"]
 
 RESULT_SCHEMA = (
     "conv_id string, turn_idx int, chunk int, part_id int, extracted_text string, "
@@ -63,7 +65,9 @@ LINEAGE_SCHEMA = (
 class ExtractionJobConfig:
     num_chunks: int = 64
     num_waves: int = 4
-    salt_buckets: int = 16          # S; >= max(1, hottest_conv_rows / target_rows_per_chunk)
+    # S; >= max(1, hottest_conv_rows / target_rows_per_chunk).  None ->
+    # derived from a sampled skew sketch at plan time (derive_salt_buckets)
+    salt_buckets: int | None = 16
     model_path: str | None = None
     payload_roles: tuple = ()       # optional role filter pushed into the scan
     require_payload: bool = True    # filter text != '' at the scan
@@ -95,6 +99,31 @@ def _iceberg_available(spark) -> bool:
         return True
     except Exception:
         return False
+
+
+def derive_salt_buckets(df, num_chunks: int, sample_fraction: float = 0.02,
+                        safety: float = 2.0, max_buckets: int = 4096) -> int:
+    """Cheap skew sketch -> salt bucket count S.
+
+    Samples the conv_id column (column-pruned scan of one string column),
+    estimates the hottest conversation's share of total rows, and returns
+    the number of chunks that conversation must spread over so no chunk
+    exceeds ~an average chunk's row count, times a safety factor.  At
+    10^12 rows this is a planning-time sample aggregation — the per-conv
+    counts partial-aggregate map-side and only the max survives.  A uniform
+    table returns 1 (salting off); the cap bounds sort-key cardinality."""
+    from pyspark.sql import functions as F
+
+    s = df.select("conv_id").sample(fraction=sample_fraction, seed=7)
+    row = (
+        s.groupBy("conv_id").count()
+        .agg(F.max("count").alias("hot"), F.sum("count").alias("total"))
+        .collect()[0]
+    )
+    if not row["total"]:
+        return 1
+    spread = row["hot"] * num_chunks / row["total"]  # chunks the hot conv needs
+    return int(min(max_buckets, max(1, math.ceil(spread * safety))))
 
 
 def _make_kernel(model_bc, templates_bc, passthrough_col: str | None = None):
@@ -172,10 +201,15 @@ def plan_extraction(spark, df, cfg: ExtractionJobConfig, model: CharModel | None
     if cfg.payload_roles:
         cols = df.filter(F.col("role").isin(*cfg.payload_roles)).select("conv_id", "turn_idx", "text")
 
+    salt_buckets = cfg.salt_buckets
+    if salt_buckets is None:
+        salt_buckets = derive_salt_buckets(cols, cfg.num_chunks)
+        cfg.salt_buckets = salt_buckets  # pin: every wave must salt identically
+
     salted = cols.withColumn(
         "chunk",
         F.pmod(
-            F.xxhash64(F.col("conv_id"), F.pmod(F.xxhash64(F.col("turn_idx")), F.lit(cfg.salt_buckets))),
+            F.xxhash64(F.col("conv_id"), F.pmod(F.xxhash64(F.col("turn_idx")), F.lit(salt_buckets))),
             F.lit(cfg.num_chunks),
         ).cast("int"),
     )

@@ -104,21 +104,29 @@ def jaccard_verified_pairs(docs: DataFrame, k: int = 7, num_hashes: int = 8,
     pass False to fall back to shuffle joins (pairs are then the small
     side: candidates should be semi-join-reduced first at 100 TB)."""
     cands = lsh_candidate_pairs(docs, k, num_hashes, band_size)
-    sh = docs.select("doc_id", _shingles(k).alias("shingles"))
+    sh = docs.select("doc_id", _shingles(k).alias("shingles")).withColumn(
+        "n_sh", F.size("shingles")
+    )
     if broadcast_shingles:
         sh = F.broadcast(sh)
-    j = (
-        cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")),
-                4,
-            ).alias("jaccard"),
-        )
+    withsets = (
+        cands.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"),
+                             F.col("n_sh").alias("na")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"),
+                        F.col("n_sh").alias("nb")), "doc_b")
+        # size-bound prefilter (AllPairs): J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
+        # so pairs whose set sizes are too disproportionate cannot reach the
+        # threshold — pruned BEFORE the O(|A|+|B|) intersection, exact-safe
+        .filter(F.least("na", "nb") >= threshold * F.greatest("na", "nb"))
+    )
+    j = withsets.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+            4,
+        ).alias("jaccard"),
     )
     return j.filter(F.col("jaccard") >= threshold)
 

@@ -149,3 +149,25 @@ def test_lineage_extraction_accuracy(spark, synth_dir, tmp_path):
     # vs the oracle golden, every chunk is exact (the correctness gate)
     accs = [r.extraction_acc for r in lin.collect()]
     assert accs and all(a == 1.0 for a in accs)
+
+
+def test_derived_salt_buckets_spread_skew(spark, synth_dir, tmp_path):
+    """salt_buckets=None derives S from the sampled skew sketch; the run
+    stays oracle-exact and the hot conversation still spreads."""
+    from arabic_ocr_spark.job import derive_salt_buckets
+
+    df = spark.read.parquet(f"{synth_dir}/transcripts.parquet").filter(F.col("text") != "")
+    s = derive_salt_buckets(df, num_chunks=12, sample_fraction=0.5)
+    assert s >= 2  # the 30x-skewed conversation forces salting on
+
+    uniform = spark.range(200).selectExpr("concat('c', id % 100) AS conv_id")
+    assert derive_salt_buckets(uniform, num_chunks=12, sample_fraction=1.0) <= 2
+
+    out = str(tmp_path / "out")
+    run_extraction(spark, f"{synth_dir}/transcripts.parquet", out, _cfg(salt_buckets=None))
+    result = _read_out(spark, out)
+    golden = spark.read.parquet(f"{synth_dir}/transcripts_golden.parquet")
+    j = result.join(golden, ["conv_id", "turn_idx"])
+    assert j.filter(F.col("extracted_text") != F.col("expected_text")).count() == 0
+    hot = result.filter(F.col("conv_id") == "conv_000007")
+    assert hot.select("chunk").distinct().count() >= 4
