@@ -23,7 +23,7 @@ import os
 from ..job import ExtractionJobConfig, plan_extraction
 from ..kernel.classifier import CharModel
 
-__all__ = ["run_streaming_extraction", "streaming_events_hourly"]
+__all__ = ["run_streaming_extraction", "streaming_events_hourly", "streaming_conv_progress"]
 
 TRANSCRIPTS_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
@@ -89,6 +89,66 @@ def run_streaming_extraction(
     if available_now:
         q.awaitTermination()
     return q
+
+
+CONV_PROGRESS_SCHEMA = (
+    "conv_id string, n_turns long, max_turn_idx int, n_payload long, done boolean"
+)
+_CONV_STATE_SCHEMA = "n long, mx int, np long"
+
+
+def streaming_conv_progress(transcripts_stream, idle_timeout_ms: int = 0):
+    """Custom stateful operator over the transcripts stream: per-
+    conversation running progress via applyInPandasWithState.
+
+    State per conv_id = (turns seen, max turn_idx, payload-bearing turns),
+    carried across micro-batches by Spark's state store (so a conversation
+    whose turns arrive in many batches accumulates exactly once per turn).
+    Each update emits the running row with done=false; with
+    idle_timeout_ms > 0, a conversation idle past the timeout emits a final
+    done=true row and its state is removed — the streaming analog of
+    "conversation closed, safe to hand to the batch extractor".
+
+    Scale: state is O(active conversations) x 3 numbers; the stream shuffles
+    once on conv_id (the same key the batch job salts), and per-batch work
+    is Arrow-batched pandas over each group's new rows only."""
+    import pandas as pd
+
+    def track(key, pdfs, state):
+        conv_id = key[0]
+        if state.hasTimedOut:
+            n, mx, np_ = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"conv_id": conv_id, "n_turns": n, "max_turn_idx": mx,
+                  "n_payload": np_, "done": True}]
+            )
+            return
+        n, mx, np_ = state.get if state.exists else (0, -1, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, int(pdf["turn_idx"].max()))
+                np_ += int((pdf["text"] != "").sum())
+        state.update((n, mx, np_))
+        if idle_timeout_ms > 0:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            [{"conv_id": conv_id, "n_turns": n, "max_turn_idx": mx,
+              "n_payload": np_, "done": False}]
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if idle_timeout_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        transcripts_stream.select("conv_id", "turn_idx", "text")
+        .groupBy("conv_id")
+        .applyInPandasWithState(track, CONV_PROGRESS_SCHEMA, _CONV_STATE_SCHEMA, "update", timeout)
+    )
 
 
 def streaming_events_hourly(events_stream, watermark: str = "2 hours"):

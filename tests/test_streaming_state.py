@@ -1,0 +1,71 @@
+"""Custom stateful streaming operator (applyInPandasWithState): state must
+accumulate across micro-batches per conversation."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from arabic_ocr_spark.streaming.stream_job import TRANSCRIPTS_SCHEMA, streaming_conv_progress
+
+
+@pytest.fixture()
+def two_batch_input(tmp_path, spark):
+    """Two parquet files = two micro-batches (maxFilesPerTrigger=1); conv_a
+    spans both, conv_b only the first."""
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    b1 = pd.DataFrame({
+        "conv_id": ["conv_a", "conv_a", "conv_b"],
+        "turn_idx": [0, 1, 0],
+        "role": ["user", "assistant", "user"],
+        "text": ["p1", "", "p2"],
+        "tool": ["", "", ""],
+        "ts": pd.to_datetime(["2026-01-01"] * 3),
+    })
+    b2 = pd.DataFrame({
+        "conv_id": ["conv_a", "conv_a"],
+        "turn_idx": [2, 3],
+        "role": ["user", "assistant"],
+        "text": ["p3", "p4"],
+        "tool": ["", ""],
+        "ts": pd.to_datetime(["2026-01-01"] * 2),
+    })
+    for name, pdf in (("f1", b1), ("f2", b2)):
+        (spark.createDataFrame(pdf)
+         .selectExpr("conv_id", "CAST(turn_idx AS INT) turn_idx", "role", "text", "tool", "ts")
+         .coalesce(1).write.parquet(os.path.join(d, name)))
+    return d
+
+
+def test_conv_progress_accumulates_across_batches(spark, two_batch_input, tmp_path):
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(two_batch_input, "*"))
+    )
+    q = (
+        streaming_conv_progress(stream)
+        .writeStream.format("memory").queryName("conv_progress")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM conv_progress").collect()
+    # final (latest) state per conversation: take the max n_turns emitted
+    final = {}
+    for r in rows:
+        prev = final.get(r["conv_id"])
+        if prev is None or r["n_turns"] > prev["n_turns"]:
+            final[r["conv_id"]] = r
+    # conv_a: 2 turns in batch 1 + 2 in batch 2 -> state carried across batches
+    assert final["conv_a"]["n_turns"] == 4
+    assert final["conv_a"]["max_turn_idx"] == 3
+    assert final["conv_a"]["n_payload"] == 3  # one blank turn
+    assert final["conv_b"]["n_turns"] == 1
+    assert not final["conv_b"]["done"]
+    # conv_a must have emitted an intermediate row too (update per batch)
+    conv_a_counts = sorted(r["n_turns"] for r in rows if r["conv_id"] == "conv_a")
+    assert conv_a_counts == [2, 4]
