@@ -23,7 +23,19 @@ import os
 from ..job import ExtractionJobConfig, plan_extraction
 from ..kernel.classifier import CharModel
 
-__all__ = ["run_streaming_extraction", "streaming_events_hourly", "streaming_conv_progress"]
+__all__ = ["run_streaming_extraction", "streaming_events_hourly", "streaming_conv_progress",
+           "streaming_payload_quality"]
+
+
+def streaming_payload_quality(transcripts_stream):
+    """Map-only payload validity/shape sweep on an unbounded stream: the
+    JVM-side envelope decode (operators/multimodal.payload_meta) contains no
+    aggregation or Python, so it applies to a readStream DataFrame directly
+    — the cheap front gate that routes malformed payloads to a dead-letter
+    sink before any stateful or Python-side work."""
+    from ..operators.multimodal import payload_meta
+
+    return payload_meta(transcripts_stream)
 
 TRANSCRIPTS_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"

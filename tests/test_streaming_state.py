@@ -69,3 +69,28 @@ def test_conv_progress_accumulates_across_batches(spark, two_batch_input, tmp_pa
     # conv_a must have emitted an intermediate row too (update per batch)
     conv_a_counts = sorted(r["n_turns"] for r in rows if r["conv_id"] == "conv_a")
     assert conv_a_counts == [2, 4]
+
+
+def test_payload_quality_runs_on_unbounded_stream(spark, two_batch_input, tmp_path):
+    """payload_meta is JVM-only and aggregation-free, so it must apply to a
+    readStream DataFrame without foreachBatch (append mode)."""
+    from arabic_ocr_spark.streaming.stream_job import streaming_payload_quality
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .parquet(os.path.join(two_batch_input, "*"))
+    )
+    out = str(tmp_path / "out")
+    q = (
+        streaming_payload_quality(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 5
+    # fixture payloads are plain strings, not valid envelopes
+    assert all(not r["valid"] and r["height"] == 0 for r in rows)
