@@ -82,9 +82,17 @@ def test_cosine_topk_rank_limit_pushdown(spark, entry_mod):
     assert "BroadcastNestedLoopJoin" in plan  # tiny query side broadcast
 
 
-def test_minhash_partial_aggregation(spark, entry_mod):
+def test_minhash_signatures_are_shuffle_free(spark, entry_mod):
+    """Signature computation is map-only (array_min over per-seed md5
+    transforms): the only shuffles in the LSH pair query belong to the
+    band self-join and final distinct, never to the signatures."""
+    from arabic_ocr_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sig_plan = _formatted(spark, minhash_signatures(docs))
+    assert _tree_count(sig_plan, "Exchange") == 0
+    assert "Generate" not in sig_plan  # no explode
+
     q = entry_mod.queries()["minhash_lsh_pairs"]
     plan = _formatted(spark, q(spark, "/root/testdata/sf0.001"))
-    # explode -> groupBy min() must partial-aggregate map-side
-    assert _tree_count(plan, "HashAggregate") >= 2
     assert "BroadcastHashJoin" in plan
