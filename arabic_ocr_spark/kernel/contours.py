@@ -26,22 +26,33 @@ __all__ = ["find_external_contours", "contour_area"]
 _DELTAS = ((1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1))
 
 
-def _trace_border(fgp: np.ndarray, start: tuple[int, int]) -> list[tuple[int, int]]:
+def _trace_border(fgp: np.ndarray, start: tuple[int, int],
+                  fg_bytes: bytes | None = None) -> list[tuple[int, int]]:
     """Follow the outer border of the component containing `start`
     (which must be its raster-first pixel, so its W neighbour is background).
     `fgp` is the foreground mask padded by one false ring (bounds checks
     become plain indexing).  Returns the point sequence as (x, y) tuples in
-    UNPADDED coordinates."""
+    UNPADDED coordinates.
+
+    fg_bytes: optional raveled uint8 copy of fgp — C-level bytes indexing in
+    the tight probe loop is ~4x numpy scalar indexing; callers tracing many
+    contours of one image build it once."""
+    if fg_bytes is None:
+        fg_bytes = fgp.astype(np.uint8).tobytes()
+    stride = fgp.shape[1]
     y0, x0 = start[0] + 1, start[1] + 1
 
+    # per-direction flat-index deltas for the padded image
+    flat_d = tuple(dy * stride + dx for dx, dy in _DELTAS)
+
     # initial probe: clockwise from WEST around the start pixel
+    p0 = y0 * stride + x0
     s = s_end = 4
     i1 = None
     while True:
         s = (s - 1) & 7
-        dx, dy = _DELTAS[s]
-        if fgp[y0 + dy, x0 + dx]:
-            i1 = (x0 + dx, y0 + dy)
+        if fg_bytes[p0 + flat_d[s]]:
+            i1 = p0 + flat_d[s]
             break
         if s == s_end:
             break
@@ -49,18 +60,17 @@ def _trace_border(fgp: np.ndarray, start: tuple[int, int]) -> list[tuple[int, in
         return [(x0 - 1, y0 - 1)]  # isolated pixel
 
     pts: list[tuple[int, int]] = []
-    i3 = (x0, y0)
+    i3 = p0
     while True:
         # counter-clockwise probe around i3, starting just past direction s
         while True:
             s += 1
-            dx, dy = _DELTAS[s & 7]
-            i4 = (i3[0] + dx, i3[1] + dy)
-            if fgp[i4[1], i4[0]]:
+            i4 = i3 + flat_d[s & 7]
+            if fg_bytes[i4]:
                 break
         s &= 7
-        pts.append((i3[0] - 1, i3[1] - 1))
-        if i4 == (x0, y0) and i3 == i1:
+        pts.append((i3 % stride - 1, i3 // stride - 1))
+        if i4 == p0 and i3 == i1:
             break
         i3 = i4
         s = (s + 4) & 7
@@ -78,18 +88,15 @@ def find_external_contours(img: np.ndarray) -> list[np.ndarray]:
     contours: list[np.ndarray] = []
     flat = labels.ravel()
     w = img.shape[1]
-    seen = 0
+    # raster-first pixel per label, vectorized: reversed assignment makes
+    # the earliest index win
+    nz = np.flatnonzero(flat)[::-1]
     first_idx = np.full(n, -1, dtype=np.int64)
-    for idx in np.flatnonzero(flat):
-        lbl = flat[idx]
-        if first_idx[lbl] < 0:
-            first_idx[lbl] = idx
-            seen += 1
-            if seen == n - 1:
-                break
+    first_idx[flat[nz]] = nz
+    fg_bytes = fgp.astype(np.uint8).tobytes()  # shared by all traces
     for lbl in range(1, n):
         idx = first_idx[lbl]
-        pts = _trace_border(fgp, (int(idx // w), int(idx % w)))
+        pts = _trace_border(fgp, (int(idx // w), int(idx % w)), fg_bytes)
         contours.append(np.asarray(pts, dtype=np.int64))
     return contours
 

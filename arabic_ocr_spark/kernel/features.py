@@ -130,10 +130,8 @@ def eliminate_extra_padding(img: np.ndarray) -> np.ndarray:
     """Crop to the bounding box of nonzero rows/cols — with the reference's
     single-nonzero-row/col behaviour (the 'last' bound stays -1, yielding an
     empty crop, which rejects degenerate segments downstream)."""
-    horz_sum = np.sum(img, axis=1)
-    ver_sum = np.sum(img, axis=0)
-    nz_r = np.flatnonzero(horz_sum)
-    nz_c = np.flatnonzero(ver_sum)
+    nz_r = np.flatnonzero(img.any(axis=1))  # == sum>0: pixel values are non-negative
+    nz_c = np.flatnonzero(img.any(axis=0))
     upper_x = int(nz_r[0]) if len(nz_r) else -1
     lower_x = int(nz_r[-1]) if len(nz_r) > 1 else -1
     upper_y = int(nz_c[0]) if len(nz_c) else -1
@@ -143,13 +141,9 @@ def eliminate_extra_padding(img: np.ndarray) -> np.ndarray:
 
 def add_extra_padding(char_img: np.ndarray) -> np.ndarray:
     """1-px zero border (float result, as np.zeros defaults to float64)."""
-    hpad = np.zeros((char_img.shape[0], 1))
-    char_img = np.hstack((char_img, hpad))
-    char_img = np.hstack((hpad, char_img))
-    vpad = np.zeros((1, char_img.shape[1]))
-    char_img = np.vstack((char_img, vpad))
-    char_img = np.vstack((vpad, char_img))
-    return char_img
+    out = np.zeros((char_img.shape[0] + 2, char_img.shape[1] + 2))
+    out[1:-1, 1:-1] = char_img
+    return out
 
 
 def _is_hamza(dots_img: np.ndarray) -> bool:

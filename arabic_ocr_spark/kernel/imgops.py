@@ -87,7 +87,20 @@ def dilate3x3(img: np.ndarray) -> np.ndarray:
 
 def most_frequent(arr: np.ndarray):
     """Mode (smallest value on ties, per np.unique sort); if the mode is 0,
-    recompute over the nonzero values."""
+    recompute over the nonzero values.  Small non-negative int arrays (the
+    per-contour y-coordinate case) take an O(max) bincount path — argmax's
+    first-maximum matches np.unique's ascending tie-break."""
+    arr = np.asarray(arr)
+    if (arr.size and arr.ndim == 1 and np.issubdtype(arr.dtype, np.integer)
+            and int(arr.min()) >= 0 and int(arr.max()) < 65536):
+        counts = np.bincount(arr)
+        most_freq = int(np.argmax(counts))
+        if most_freq == 0:
+            counts[0] = 0
+            if not counts.any():
+                np.argmax(np.array([]))  # all-zero input: raise as the slow path would
+            most_freq = int(np.argmax(counts))
+        return most_freq
     values, counts = np.unique(arr, return_counts=True)
     most_freq = values[np.argmax(counts)]
     if most_freq == 0:
