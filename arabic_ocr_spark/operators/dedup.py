@@ -70,7 +70,12 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = 7, num_hashes: int = 8, band_s
     """Near-duplicate candidate pairs (doc_a < doc_b) sharing at least one
     LSH band.  Bands of `band_size` consecutive minhashes; the self-join is
     on the concatenated band key."""
-    sigs = minhash_signatures(docs, k, num_hashes)
+    # materialize the (tiny: doc_id + H hashes) signature table once: the
+    # band-key expressions reference every mh column and the posexplode
+    # Generate blocks codegen subexpression reuse, so an unmaterialized
+    # signature chain would re-evaluate the whole shingle pipeline per
+    # band reference on both sides of the self-join (measured 2x the query)
+    sigs = minhash_signatures(docs, k, num_hashes).localCheckpoint()
     n_bands = num_hashes // band_size
     # one posexplode instead of a union of per-band selects: the signature
     # chain (shingling + H md5-min scans) is computed ONCE per doc, not once
@@ -110,27 +115,32 @@ def jaccard_verified_pairs(docs: DataFrame, k: int = 7, num_hashes: int = 8,
     cands = lsh_candidate_pairs(docs, k, num_hashes, band_size)
     sh = docs.select("doc_id", _shingles(k).alias("shingles")).withColumn(
         "n_sh", F.size("shingles")
-    )
+    ).localCheckpoint()  # shingle chain evaluated once, reused by 4 joins below
+    sizes = sh.select("doc_id", "n_sh")
+    arrays = sh.select("doc_id", "shingles")
     if broadcast_shingles:
-        sh = F.broadcast(sh)
-    withsets = (
-        cands.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"),
-                             F.col("n_sh").alias("na")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"),
-                        F.col("n_sh").alias("nb")), "doc_b")
-        # size-bound prefilter (AllPairs): J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
-        # so pairs whose set sizes are too disproportionate cannot reach the
-        # threshold — pruned BEFORE the O(|A|+|B|) intersection, exact-safe
+        sizes, arrays = F.broadcast(sizes), F.broadcast(arrays)
+    # size-bound prefilter (AllPairs): J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
+    # so pairs whose set sizes are too disproportionate cannot reach the
+    # threshold.  Sizes attach first so the (much wider) shingle arrays are
+    # only ever joined to the surviving pairs.
+    filtered = (
+        cands.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
         .filter(F.least("na", "nb") >= threshold * F.greatest("na", "nb"))
     )
+    withsets = (
+        filtered.join(arrays.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
+        .join(arrays.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+    )
+    # shingle arrays are distinct, so |A u B| = |A| + |B| - |A n B|: one
+    # intersection instead of intersect + union (and the exact formula the
+    # DuckDB oracle spells out)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     j = withsets.select(
         "doc_a",
         "doc_b",
-        F.round(
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")),
-            4,
-        ).alias("jaccard"),
+        F.round(inter.cast("double") / (F.col("na") + F.col("nb") - inter), 4).alias("jaccard"),
     )
     return j.filter(F.col("jaccard") >= threshold)
 
