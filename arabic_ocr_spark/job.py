@@ -274,22 +274,28 @@ def read_lineage(spark, output_dir: str):
 
 def run_extraction(
     spark,
-    input_path: str,
+    input_path: str | None,
     output_dir: str,
     cfg: ExtractionJobConfig | None = None,
     model: CharModel | None = None,
     templates: list[TemplateSpec] | None = None,
     fail_after_wave: int | None = None,
+    input_table: str | None = None,
 ) -> dict:
     """Execute the job in resumable waves.  Returns run stats.
 
+    input_path: parquet path; or pass input_table to read a catalog table
+    (the production Iceberg source — any Spark catalog name resolves, and
+    Iceberg's scan supports the same pruning/pushdown the plan tests pin).
     fail_after_wave: test hook — raise after committing that many waves
     (simulates a mid-run kill for the resume test).
     """
     from pyspark.sql import functions as F
 
     cfg = cfg or ExtractionJobConfig()
-    df = spark.read.parquet(input_path)
+    if (input_path is None) == (input_table is None):
+        raise ValueError("exactly one of input_path / input_table is required")
+    df = spark.table(input_table) if input_table else spark.read.parquet(input_path)
     if cfg.require_payload:
         df = df.filter(F.col("text") != "")
 

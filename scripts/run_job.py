@@ -28,12 +28,15 @@ import json
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True)
+    ap.add_argument("--input", default=None, help="transcripts parquet path")
+    ap.add_argument("--input-table", default=None,
+                    help="catalog table name (Iceberg production source) instead of --input")
     ap.add_argument("--output", required=True)
     ap.add_argument("--model", default=None)
     ap.add_argument("--chunks", type=int, default=256)
     ap.add_argument("--waves", type=int, default=8)
-    ap.add_argument("--salt", type=int, default=16)
+    ap.add_argument("--salt", type=int, default=None,
+                    help="salt buckets; omit to derive from the sampled skew sketch")
     ap.add_argument("--golden", default=None, help="golden parquet for per-chunk extraction_acc lineage")
     ap.add_argument("--dedup-payloads", default="false",
                     help="extract once per distinct payload and join back (duplicate-heavy corpora)")
@@ -59,7 +62,8 @@ def main() -> None:
         run_streaming_extraction(spark, args.input, args.output, cfg)
         print(json.dumps({"mode": "streaming", "output": args.output}))
     else:
-        stats = run_extraction(spark, args.input, args.output, cfg)
+        stats = run_extraction(spark, args.input, args.output, cfg,
+                               input_table=args.input_table)
         print(json.dumps({"mode": "batch", **stats}))
     spark.stop()
 

@@ -83,3 +83,26 @@ def test_recommit_is_per_wave_idempotent(spark, synth_dir, tmp_path, iceberg_dou
     t, waves, n = iceberg_double[-1]
     prev = next(e for e in first if e[1] == (1,))
     assert (t, waves, n) == prev
+
+
+def test_table_input_source(spark, synth_dir, tmp_path):
+    """input_table reads through the catalog (spark.table) — the production
+    Iceberg source path — and produces the same run as the parquet path."""
+    import pytest as _pytest
+
+    spark.read.parquet(f"{synth_dir}/transcripts.parquet").createOrReplaceTempView(
+        "transcripts_view"
+    )
+    out = str(tmp_path / "out_tbl")
+    cfg = ExtractionJobConfig(num_chunks=8, num_waves=2, model_path=default_model_path())
+    stats = run_extraction(spark, None, out, cfg, input_table="transcripts_view")
+    assert stats["waves_run"] == 2
+    n_tbl = spark.read.parquet(os.path.join(out, "data")).count()
+    n_src = spark.read.parquet(f"{synth_dir}/transcripts.parquet").filter("text <> ''").count()
+    assert n_tbl == n_src
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        run_extraction(spark, f"{synth_dir}/transcripts.parquet", out, cfg,
+                       input_table="transcripts_view")
+    with _pytest.raises(ValueError, match="exactly one"):
+        run_extraction(spark, None, out, cfg)
