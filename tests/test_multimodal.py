@@ -93,3 +93,37 @@ def test_payload_thumbnail_roundtrips_envelope(spark, payload_df):
         assert thumb.shape == want.shape == (r["height"], r["width"])
         assert max(thumb.shape) <= 8
         assert np.array_equal(thumb, want)
+
+
+def test_payload_meta_parity_fuzz(spark):
+    """Property check: for random envelopes and random corruptions, the
+    JVM-side decoder and the Python codec agree on (height, width, valid) —
+    one Spark job over the whole case batch."""
+    rng = np.random.default_rng(99)
+    cases = []
+    for i in range(60):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        enc = encode_payload(rng.integers(0, 256, size=(h, w)).astype(np.uint8))
+        kind = i % 5
+        if kind == 1 and len(enc) > 8:
+            cut = int(rng.integers(1, len(enc) - 1))
+            enc = enc[:cut]                                  # truncation
+        elif kind == 2:
+            pos = int(rng.integers(0, len(enc)))
+            enc = enc[:pos] + "*" + enc[pos + 1:]            # invalid b64 char
+        elif kind == 3:
+            enc = enc + "AAAA"                               # trailing garbage
+        elif kind == 4:
+            import base64
+            raw = base64.b64decode(enc)
+            flip = int(rng.integers(0, 8))                   # header corruption
+            raw = raw[:flip] + bytes([raw[flip] ^ 0xFF]) + raw[flip + 1:]
+            enc = base64.b64encode(raw).decode()
+        cases.append((f"c{i}", i, enc))
+    df = spark.createDataFrame(cases, "conv_id string, turn_idx int, text string")
+    got = {r["turn_idx"]: (r["height"], r["width"], r["valid"])
+           for r in payload_meta(df).collect()}
+    for _cid, i, enc in cases:
+        img = decode_payload(enc)
+        want = (img.shape[0], img.shape[1], True) if img is not None else (0, 0, False)
+        assert got[i] == want, (i, enc[:24], got[i], want)
