@@ -36,7 +36,9 @@ from arabic_ocr_spark.operators.similarity import (
     lsh_ann_topk,
 )
 from arabic_ocr_spark.operators.textstats import (
+    BPE_SPLIT_PATTERN,
     LANG_MARKERS,
+    bpe_token_stats,
     fingerprints,
     lang_id,
     quality_scores,
@@ -202,6 +204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_groups"] = lambda s, d: dedup_groups(_t(s, d, "documents"))
     q["token_stats"] = lambda s, d: token_stats(_t(s, d, "documents")).withColumn(
         "n_tokens", F.col("n_tokens").cast("long"))
+    q["bpe_tokens"] = lambda s, d: bpe_token_stats(_t(s, d, "documents"))
     q["quality"] = lambda s, d: quality_scores(_t(s, d, "documents")).withColumn(
         "n_chars_m", F.col("n_chars_m").cast("long")).withColumn(
         "quality_ok", F.col("quality_ok").cast("long"))
@@ -370,6 +373,18 @@ FROM documents
 """
 
     sql["lang_id"] = _sql_lang_id()
+
+    bpe_pat_sql = BPE_SPLIT_PATTERN.replace("'", "''")
+    sql["bpe_tokens"] = f"""
+WITH p AS (SELECT doc_id, regexp_extract_all(text, '{bpe_pat_sql}') AS pieces FROM documents)
+SELECT doc_id,
+  CAST(len(pieces) AS BIGINT) AS n_pieces,
+  CAST(len(list_filter(pieces, t -> regexp_matches(t, '^ ?[A-Za-z0-9]'))) AS BIGINT) AS n_word_pieces,
+  round(CASE WHEN len(pieces) > 0
+        THEN CAST(list_sum([length(t) for t in pieces]) AS DOUBLE) / len(pieces)
+        ELSE 0.0 END, 4) AS avg_piece_len
+FROM p
+"""
 
     sql["fingerprint"] = """
 SELECT doc_id,

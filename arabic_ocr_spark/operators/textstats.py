@@ -9,7 +9,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["token_stats", "quality_scores", "lang_id", "fingerprints", "LANG_MARKERS"]
+__all__ = ["token_stats", "bpe_token_stats", "quality_scores", "lang_id", "fingerprints",
+           "LANG_MARKERS", "BPE_SPLIT_PATTERN"]
+
+# GPT-2-style pre-tokenization split, made engine-portable: no lookahead
+# (RE2 lacks it) and explicit ASCII classes (identical semantics in Java
+# regex and RE2; non-ASCII letters fall into the punctuation class in both)
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ \tA-Za-z0-9]+|[ \t]+"
 
 
 def token_stats(docs: DataFrame) -> DataFrame:
@@ -110,4 +116,25 @@ def fingerprints(docs: DataFrame, k: int = 8) -> DataFrame:
     return docs.select(
         "doc_id",
         F.when(short, F.md5("text")).otherwise(gram_mins).alias("fingerprint"),
+    )
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """BPE-ish sub-word piece statistics: total pieces under the GPT-2-style
+    split (whitespace runs count as pieces, as in the original), word pieces
+    (letter/digit-led), and mean piece length.  Map-only JVM regex — the
+    token-budget estimator for corpus curation at scan bandwidth."""
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_SPLIT_PATTERN), 0)
+    word = F.filter(pieces, lambda t: t.rlike("^ ?[A-Za-z0-9]"))
+    n = F.size(pieces)
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_pieces"),
+        F.size(word).cast("long").alias("n_word_pieces"),
+        F.round(
+            F.when(n > 0,
+                   F.aggregate(pieces, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double") / n)
+            .otherwise(F.lit(0.0)),
+            4,
+        ).alias("avg_piece_len"),
     )

@@ -53,6 +53,7 @@ def main() -> None:
         "dedup_groups",
         "simhash",
         "token_stats",
+        "bpe_tokens",
         "payload_meta",
         "payload_features",
         "quality",
