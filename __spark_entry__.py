@@ -313,28 +313,32 @@ FROM documents GROUP BY md5(text)
 
     sql["minhash_lsh_pairs"] = _sql_minhash_cte() + "SELECT doc_a, doc_b FROM cand"
 
-    sql["jaccard_pairs"] = _sql_minhash_cte() + """
-SELECT doc_a, doc_b, jaccard FROM (
+    # the Spark verify maps shingles to 60-bit ints (first 15 md5 hex chars)
+    # before intersecting; the oracle applies the IDENTICAL mapping so any
+    # collision perturbs both engines' counts the same way
+    ish = ("list_distinct([CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)"
+           " for s in shingles])")
+    jaccard_verify = f"""
   SELECT c.doc_a, c.doc_b,
-    round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-          / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+    round(CAST(len(list_intersect(a.ish, b.ish)) AS DOUBLE)
+          / (len(a.ish) + len(b.ish) - len(list_intersect(a.ish, b.ish))), 4) AS jaccard
   FROM cand c
-  JOIN sig a ON a.doc_id = c.doc_a
-  JOIN sig b ON b.doc_id = c.doc_b
+  JOIN (SELECT doc_id, {ish} AS ish FROM sh) a ON a.doc_id = c.doc_a
+  JOIN (SELECT doc_id, {ish} AS ish FROM sh) b ON b.doc_id = c.doc_b
+"""
+
+    sql["jaccard_pairs"] = _sql_minhash_cte() + f"""
+SELECT doc_a, doc_b, jaccard FROM (
+{jaccard_verify}
 ) WHERE jaccard >= 0.6
 """
 
     sql["simhash"] = _sql_simhash()
 
-    sql["dedup_groups"] = _sql_minhash_cte().replace("WITH sh AS", "WITH RECURSIVE sh AS", 1) + """
+    sql["dedup_groups"] = _sql_minhash_cte().replace("WITH sh AS", "WITH RECURSIVE sh AS", 1) + f"""
 , verified AS (
   SELECT doc_a, doc_b FROM (
-    SELECT c.doc_a, c.doc_b,
-      round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-            / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
-    FROM cand c
-    JOIN sig a ON a.doc_id = c.doc_a
-    JOIN sig b ON b.doc_id = c.doc_b
+{jaccard_verify}
   ) WHERE jaccard >= 0.6
 ),
 edges AS (
