@@ -127,13 +127,8 @@ def zero_run_gaps(projection: np.ndarray) -> tuple[list[float], list[int]]:
     starts = np.flatnonzero(diff == 1)
     ends = np.flatnonzero(diff == -1)  # exclusive
     n = len(projection)
-    centres: list[float] = []
-    widths: list[int] = []
-    for s, e in zip(starts, ends):
-        if e == n:
-            # run reaches the end of the axis -> never closed -> dropped
-            continue
-        # float mean of indices s..e-1 == sum/count of the reference's scan
-        centres.append((int(s) + int(e) - 1) * 0.5)
-        widths.append(int(e - s))
-    return centres, widths
+    # a run reaching the end of the axis is never closed -> dropped;
+    # centre = float mean of indices s..e-1 == sum/count of the reference
+    keep = ends != n
+    s, e = starts[keep], ends[keep]
+    return ((s + e - 1) * 0.5).tolist(), (e - s).tolist()
