@@ -27,7 +27,12 @@ from arabic_ocr_spark.operators.dedup import (
     simhash,
 )
 from arabic_ocr_spark.operators.multimodal import payload_features, payload_meta, payload_thumbnail
-from arabic_ocr_spark.operators.relational import events_hourly, orders_by_nation, pricing_summary
+from arabic_ocr_spark.operators.relational import (
+    asof_last_event,
+    events_hourly,
+    orders_by_nation,
+    pricing_summary,
+)
 from arabic_ocr_spark.operators.similarity import (
     ann_recall,
     cosine_topk,
@@ -218,6 +223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "orders"), _t(s, d, "customer"), _t(s, d, "nation"))
     q["events_hourly"] = lambda s, d: events_hourly(_t(s, d, "events")).withColumn(
         "hour_s", F.date_format("hour", "yyyy-MM-dd HH:mm:ss")).drop("hour")
+    q["asof_join"] = lambda s, d: asof_last_event(_t(s, d, "events"))
     return q
 
 
@@ -446,5 +452,13 @@ GROUP BY n_name
 SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value,
   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s
 FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+    sql["asof_join"] = """
+SELECT p.event_id AS purchase_id, p.user_id,
+  c.event_id AS click_id, epoch_us(c.ts) AS click_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
 """
     return sql

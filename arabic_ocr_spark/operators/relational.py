@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pricing_summary", "orders_by_nation", "events_hourly"]
+__all__ = ["pricing_summary", "orders_by_nation", "events_hourly", "asof_last_event"]
 
 
 def pricing_summary(lineitem: DataFrame) -> DataFrame:
@@ -58,5 +58,52 @@ def events_hourly(events: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def asof_last_event(events: DataFrame, left_type: str = "purchase",
+                    right_type: str = "click") -> DataFrame:
+    """Keyed AS-OF join, an operator Spark lacks natively: for every
+    left_type event, the most recent right_type event by the SAME user at
+    or before its timestamp (inclusive), NULL when none exists.
+
+    Implemented as the scalable union-merge: tag both sides, repartition
+    once on the key, sort (ts, tag) within the key so an equal-timestamp
+    right row precedes its left row, and carry the latest right payload
+    forward with last(ignorenulls) over an unbounded-preceding window.
+    One shuffle, O(n log n) per key, no range-join row explosion — the
+    standard distributed as-of shape.  Values match DuckDB's native
+    ASOF LEFT JOIN (the oracle)."""
+    from pyspark.sql import Window
+
+    carry_t = "struct<match_id:bigint,match_us:bigint>"
+    rights = events.filter(F.col("event_type") == right_type).select(
+        "user_id", "ts",
+        F.lit(0).alias("tag"),
+        F.struct(F.col("event_id").alias("match_id"),
+                 F.unix_micros(F.col("ts").cast("timestamp")).alias("match_us")).alias("carry"),
+        F.lit(None).cast("long").alias("left_id"),
+    )
+    lefts = events.filter(F.col("event_type") == left_type).select(
+        "user_id", "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast(carry_t).alias("carry"),
+        F.col("event_id").alias("left_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("tag").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rights.unionByName(lefts)
+        .withColumn("c", F.last("carry", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select(
+            F.col("left_id").alias("purchase_id"),
+            "user_id",
+            F.col("c.match_id").alias("click_id"),
+            F.col("c.match_us").alias("click_us"),
         )
     )

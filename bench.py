@@ -66,6 +66,7 @@ def main() -> None:
         "pricing_summary",
         "orders_by_nation",
         "events_hourly",
+        "asof_join",
     ]
 
     timings: dict[str, float] = {}

@@ -96,3 +96,12 @@ def test_minhash_signatures_are_shuffle_free(spark, entry_mod):
     q = entry_mod.queries()["minhash_lsh_pairs"]
     plan = _formatted(spark, q(spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in plan
+
+
+def test_asof_join_single_shuffle(spark, entry_mod):
+    """The union-merge as-of join shuffles exactly once (on the key); the
+    window reuses that partitioning instead of adding an Exchange."""
+    q = entry_mod.queries()["asof_join"]
+    plan = _formatted(spark, q(spark, "/root/testdata/sf0.001"))
+    assert _tree_count(plan, "Exchange") == 1
+    assert "Window" in plan and "SortMergeJoin" not in plan and "Join" not in plan
