@@ -30,6 +30,7 @@ from arabic_ocr_spark.operators.multimodal import payload_features, payload_meta
 from arabic_ocr_spark.operators.relational import (
     asof_last_event,
     events_hourly,
+    events_within_interval,
     orders_by_nation,
     pricing_summary,
 )
@@ -224,6 +225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_hourly"] = lambda s, d: events_hourly(_t(s, d, "events")).withColumn(
         "hour_s", F.date_format("hour", "yyyy-MM-dd HH:mm:ss")).drop("hour")
     q["asof_join"] = lambda s, d: asof_last_event(_t(s, d, "events"))
+    q["range_join"] = lambda s, d: events_within_interval(_t(s, d, "events"))
     return q
 
 
@@ -460,5 +462,13 @@ SELECT p.event_id AS purchase_id, p.user_id,
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+    sql["range_join"] = """
+SELECT a.event_id AS event_a, b.event_id AS event_b, a.user_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) > epoch_us(a.ts)
+ AND epoch_us(b.ts) <= epoch_us(a.ts) + 600000000
 """
     return sql

@@ -14,7 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pricing_summary", "orders_by_nation", "events_hourly", "asof_last_event"]
+__all__ = ["pricing_summary", "orders_by_nation", "events_hourly", "asof_last_event",
+           "events_within_interval"]
 
 
 def pricing_summary(lineitem: DataFrame) -> DataFrame:
@@ -106,4 +107,36 @@ def asof_last_event(events: DataFrame, left_type: str = "purchase",
             F.col("c.match_id").alias("click_id"),
             F.col("c.match_us").alias("click_us"),
         )
+    )
+
+
+def events_within_interval(events: DataFrame, seconds: int = 600) -> DataFrame:
+    """Range join, banded: ordered pairs of same-user events with
+    0 < ts_b - ts_a <= seconds.
+
+    A naive inequality join is a per-user cross product; instead timestamps
+    bucket by the interval width, the left side emits its bucket and the
+    next one, and the equi-join on (user_id, bucket) contains every
+    qualifying pair exactly once (the right event's bucket is either the
+    left's or the one after).  The exact range predicate re-applies after
+    the equi-join — candidate volume is bounded by events per (user,
+    2 x width) window instead of events-per-user squared."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = events.select("event_id", "user_id", us.alias("us"))
+    width = int(seconds) * 1_000_000
+    bucket = F.floor(F.col("us") / width).cast("long")
+    left = e.select(
+        F.col("event_id").alias("event_a"), "user_id", F.col("us").alias("us_a"),
+        F.explode(F.array(bucket, bucket + 1)).alias("bk"),
+    )
+    right = e.select(
+        F.col("event_id").alias("event_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("us").alias("us_b"),
+        bucket.alias("bk_b"),
+    )
+    return (
+        left.join(right, (F.col("user_id") == F.col("user_b")) & (F.col("bk") == F.col("bk_b")))
+        .filter((F.col("us_b") > F.col("us_a")) & (F.col("us_b") <= F.col("us_a") + width))
+        .select("event_a", "event_b", "user_id")
     )

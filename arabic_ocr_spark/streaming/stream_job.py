@@ -24,7 +24,25 @@ from ..job import ExtractionJobConfig, plan_extraction
 from ..kernel.classifier import CharModel
 
 __all__ = ["run_streaming_extraction", "streaming_events_hourly", "streaming_conv_progress",
-           "streaming_payload_quality"]
+           "streaming_payload_quality", "streaming_dedup_payloads"]
+
+
+def streaming_dedup_payloads(transcripts_stream, watermark: str = "1 hour"):
+    """Streaming exact dedup: drop turns whose payload hash was already seen
+    within the watermark horizon (dropDuplicatesWithinWatermark keys state
+    by md5(text), so state is bounded by the horizon's distinct-payload
+    count, not the stream's length).  The streaming face of the batch
+    dedup-before-compute option: retried/forwarded payloads are suppressed
+    before the expensive kernel sees them."""
+    from pyspark.sql import functions as F
+
+    return (
+        transcripts_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .withColumn("_ph", F.md5("text"))
+        .dropDuplicatesWithinWatermark(["_ph"])
+        .drop("_ph")
+    )
 
 
 def streaming_payload_quality(transcripts_stream):

@@ -67,6 +67,7 @@ def main() -> None:
         "orders_by_nation",
         "events_hourly",
         "asof_join",
+        "range_join",
     ]
 
     timings: dict[str, float] = {}

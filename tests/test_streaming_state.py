@@ -94,3 +94,36 @@ def test_payload_quality_runs_on_unbounded_stream(spark, two_batch_input, tmp_pa
     assert len(rows) == 5
     # fixture payloads are plain strings, not valid envelopes
     assert all(not r["valid"] and r["height"] == 0 for r in rows)
+
+
+def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """A payload repeated in a LATER micro-batch is suppressed by the
+    watermark-bounded dedup state."""
+    from arabic_ocr_spark.streaming.stream_job import streaming_dedup_payloads
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    mk = lambda rows: (spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]))
+        .selectExpr("conv_id", "CAST(turn_idx AS INT) turn_idx", "role", "text", "tool",
+                    "CAST(ts AS TIMESTAMP) ts"))
+    t0 = pd.Timestamp("2026-01-01 10:00:00")
+    mk([("a", 0, "u", "PAYLOAD-1", "", t0),
+        ("a", 1, "u", "PAYLOAD-2", "", t0 + pd.Timedelta(minutes=1))]) \
+        .coalesce(1).write.parquet(os.path.join(d, "f1"))
+    mk([("b", 0, "u", "PAYLOAD-1", "", t0 + pd.Timedelta(minutes=2)),   # dup of batch 1
+        ("b", 1, "u", "PAYLOAD-3", "", t0 + pd.Timedelta(minutes=3))]) \
+        .coalesce(1).write.parquet(os.path.join(d, "f2"))
+
+    stream = (spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(os.path.join(d, "*")))
+    out = str(tmp_path / "out")
+    q = (streaming_dedup_payloads(stream, watermark="2 hours")
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    texts = sorted(r["text"] for r in rows)
+    assert texts == ["PAYLOAD-1", "PAYLOAD-2", "PAYLOAD-3"]  # dup dropped
+    assert {r["conv_id"] for r in rows if r["text"] == "PAYLOAD-1"} == {"a"}  # first wins
