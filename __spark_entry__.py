@@ -92,6 +92,13 @@ def _extraction_plan(spark: SparkSession, sf_dir: str, cached: bool = True) -> D
     hit = _EXTRACTION_CACHE.get(key)
     if hit is not None and cached:
         return hit
+    # evict entries from other sessions: their persisted blocks die with the
+    # stopped session, but the Python references would pin them forever
+    for stale in [k for k in _EXTRACTION_CACHE if k[0] != key[0]]:
+        try:
+            _EXTRACTION_CACHE.pop(stale).unpersist()
+        except Exception:
+            pass  # session already stopped; nothing left to unpersist
     d = synth_dir_for(sf_dir)
     df = spark.read.parquet(os.path.join(d, "transcripts.parquet")).filter(F.col("text") != "")
     # 128 chunks: ~4 task rounds at 32 cores so stragglers average out
@@ -460,7 +467,10 @@ FROM events GROUP BY date_trunc('hour', ts), event_type
 SELECT p.event_id AS purchase_id, p.user_id,
   c.event_id AS click_id, epoch_us(c.ts) AS click_us
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (
+  SELECT user_id, ts, max(event_id) AS event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+) c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 

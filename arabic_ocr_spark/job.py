@@ -32,6 +32,7 @@ repartition by chunk — the kernel itself is map-only.
 from __future__ import annotations
 
 import glob
+import json
 import math
 import os
 import shutil
@@ -299,6 +300,36 @@ def run_extraction(
     if cfg.require_payload:
         df = df.filter(F.col("text") != "")
 
+    # pin the partitioning parameters for the OUTPUT's lifetime: chunk (and
+    # therefore wave membership) is a function of (salt_buckets, num_chunks),
+    # so a resumed run MUST salt exactly like the committed waves — a
+    # re-derived sample sketch could land on a different S and silently
+    # duplicate/drop rows across the resume boundary
+    params_path = os.path.join(output_dir, "_partitioning.json")
+    if os.path.exists(params_path):
+        with open(params_path, encoding="utf-8") as f:
+            pinned = json.load(f)
+        if pinned["num_chunks"] != cfg.num_chunks or pinned["num_waves"] != cfg.num_waves:
+            raise ValueError(
+                f"output dir was written with num_chunks={pinned['num_chunks']}, "
+                f"num_waves={pinned['num_waves']}; resume must use the same values"
+            )
+        if cfg.salt_buckets is not None and cfg.salt_buckets != pinned["salt_buckets"]:
+            raise ValueError(
+                f"output dir was salted with S={pinned['salt_buckets']}, "
+                f"got salt_buckets={cfg.salt_buckets}"
+            )
+        cfg.salt_buckets = pinned["salt_buckets"]
+    else:
+        if cfg.salt_buckets is None:
+            cfg.salt_buckets = derive_salt_buckets(
+                df.select("conv_id", "turn_idx", "text"), cfg.num_chunks
+            )
+        os.makedirs(output_dir, exist_ok=True)
+        with open(params_path, "w", encoding="utf-8") as f:
+            json.dump({"num_chunks": cfg.num_chunks, "num_waves": cfg.num_waves,
+                       "salt_buckets": cfg.salt_buckets}, f)
+
     # broadcast once for the whole run; every wave's plan reuses the handles
     model_bc = spark.sparkContext.broadcast(model or CharModel.load(cfg.model_path))
     templates_bc = spark.sparkContext.broadcast(templates or [])
@@ -326,15 +357,17 @@ def run_extraction(
         wave_df = plan_extraction(
             spark, df, cfg, wave=wave, model_bc=model_bc, templates_bc=templates_bc
         )
+        wave_df.write.mode("overwrite").parquet(data_dir)
         if cfg.iceberg_table and _iceberg_available(spark):
             # production path: one atomic Iceberg snapshot per wave
-            # (overwritePartitions on the wave partition -> retry-idempotent);
-            # the parquet wave directory below remains the sandbox-testable
-            # system of record, so with a catalog configured this dual-writes
-            # during migration
-            (wave_df.withColumn("wave", F.lit(wave))
+            # (overwritePartitions on the wave partition -> retry-idempotent),
+            # fed from the COMMITTED parquet files so the kernel runs exactly
+            # once per wave and the snapshot's rows are the committed rows;
+            # the parquet wave directory stays the sandbox-testable system of
+            # record, so with a catalog configured this dual-writes during
+            # migration
+            (spark.read.parquet(data_dir).withColumn("wave", F.lit(wave))
              .writeTo(cfg.iceberg_table).overwritePartitions())
-        wave_df.write.mode("overwrite").parquet(data_dir)
 
         # lineage derived from the COMMITTED files (read-back of the tiny
         # metric columns only -> column-pruned scan), so lineage can never

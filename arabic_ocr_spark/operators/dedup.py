@@ -131,11 +131,14 @@ def jaccard_verified_pairs(docs: DataFrame, k: int = 7, num_hashes: int = 8,
     # size-bound prefilter (AllPairs): J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
     # so pairs whose set sizes are too disproportionate cannot reach the
     # threshold.  Sizes attach first so the (much wider) shingle arrays are
-    # only ever joined to the surviving pairs.
+    # only ever joined to the surviving pairs.  The 6e-5 margin covers the
+    # round-to-4-decimals output boundary: a pair with raw J just below the
+    # threshold still rounds up to it and must not be pruned (the oracle
+    # has no prefilter).
     filtered = (
         cands.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
-        .filter(F.least("na", "nb") >= threshold * F.greatest("na", "nb"))
+        .filter(F.least("na", "nb") >= (threshold - 6e-5) * F.greatest("na", "nb"))
     )
     withsets = (
         filtered.join(arrays.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")

@@ -75,7 +75,13 @@ def asof_last_event(events: DataFrame, left_type: str = "purchase",
     forward with last(ignorenulls) over an unbounded-preceding window.
     One shuffle, O(n log n) per key, no range-join row explosion — the
     standard distributed as-of shape.  Values match DuckDB's native
-    ASOF LEFT JOIN (the oracle)."""
+    ASOF LEFT JOIN (the oracle).
+
+    Right-side timestamp ties resolve to the MAXIMUM event_id (mirrored in
+    the oracle): the sort key includes the carried event id, so the last
+    same-timestamp right row the carry sees is the highest-id one — an
+    as-of join over duplicate (key, ts) right rows is otherwise
+    nondeterministic in any engine."""
     from pyspark.sql import Window
 
     carry_t = "struct<match_id:bigint,match_us:bigint>"
@@ -94,7 +100,8 @@ def asof_last_event(events: DataFrame, left_type: str = "purchase",
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("tag").asc())
+        .orderBy(F.col("ts").asc(), F.col("tag").asc(),
+                 F.col("carry.match_id").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (

@@ -303,7 +303,9 @@ def ann_recall(embeddings: DataFrame, n_queries: int = 5, k: int = 10) -> DataFr
     """Recall@k of the two ANN operators vs the exact cosine_topk baseline,
     as one row (n_queries, ivf_recall, lsh_recall).  The measurement the
     approximate operators are graded by."""
-    exact = cosine_topk(embeddings, n_queries, k).select("query_id", "neighbor_id")
+    # materialize the exact baseline once; both recall_of joins reuse it
+    # instead of recomputing the full exact top-k per measurement
+    exact = cosine_topk(embeddings, n_queries, k).select("query_id", "neighbor_id").localCheckpoint()
 
     def recall_of(approx: DataFrame):
         return (exact.join(approx.select("query_id", "neighbor_id"),

@@ -34,9 +34,12 @@ def read_transcripts(spark, path: str, fmt: str = "parquet", **options) -> DataF
     for k, v in options.items():
         reader = reader.option(k, v)
     df = reader.format(fmt).load(path)
-    if fmt == "csv":
-        # CSV cannot distinguish '' from null; the transcripts contract uses
-        # empty strings for blank turns/roles/tools, so restore them
+    if fmt in ("csv", "json"):
+        # CSV cannot distinguish '' from null, and JSONL rows may omit keys
+        # or carry explicit nulls; the transcripts contract uses empty
+        # strings for blank turns/roles/tools, so normalize both formats to
+        # it (otherwise null-text rows silently vanish from text != ''
+        # payload filters that '' rows pass through)
         for c in ("conv_id", "role", "text", "tool"):
             df = df.withColumn(c, F.coalesce(F.col(c), F.lit("")))
     return df

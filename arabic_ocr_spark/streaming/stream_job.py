@@ -28,21 +28,31 @@ __all__ = ["run_streaming_extraction", "streaming_events_hourly", "streaming_con
 
 
 def streaming_dedup_payloads(transcripts_stream, watermark: str = "1 hour"):
-    """Streaming exact dedup: drop turns whose payload hash was already seen
-    within the watermark horizon (dropDuplicatesWithinWatermark keys state
-    by md5(text), so state is bounded by the horizon's distinct-payload
-    count, not the stream's length).  The streaming face of the batch
-    dedup-before-compute option: retried/forwarded payloads are suppressed
-    before the expensive kernel sees them."""
+    """Streaming exact PAYLOAD dedup: suppress turns whose (non-blank)
+    payload hash was already seen within the watermark horizon
+    (dropDuplicatesWithinWatermark keys state by md5(text), so state is
+    bounded by the horizon's distinct-payload count, not the stream's
+    length).  The streaming face of the batch dedup-before-compute option:
+    retried/forwarded documents are suppressed before the expensive kernel
+    sees them — intentionally ACROSS conversations, a repeated document is
+    extracted once.
+
+    Blank turns (text = '', the contract's non-payload marker) carry no
+    document and pass through un-deduped — they would otherwise all
+    collapse onto the single md5('') key and real turns would be lost."""
     from pyspark.sql import functions as F
 
-    return (
-        transcripts_stream.withColumn("ts", F.col("ts").cast("timestamp"))
-        .withWatermark("ts", watermark)
+    stamped = transcripts_stream.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    )
+    payloads = (
+        stamped.filter(F.col("text") != "")
         .withColumn("_ph", F.md5("text"))
         .dropDuplicatesWithinWatermark(["_ph"])
         .drop("_ph")
     )
+    blanks = stamped.filter(F.col("text") == "")
+    return payloads.unionByName(blanks)
 
 
 def streaming_payload_quality(transcripts_stream):

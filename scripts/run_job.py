@@ -59,6 +59,9 @@ def main() -> None:
         dedup_payloads=args.dedup_payloads.lower() == "true",
     )
     if args.streaming.lower() == "true":
+        if args.input_table or not args.input:
+            raise SystemExit("--streaming requires --input (a file-stream directory); "
+                             "--input-table is batch-only")
         run_streaming_extraction(spark, args.input, args.output, cfg)
         print(json.dumps({"mode": "streaming", "output": args.output}))
     else:

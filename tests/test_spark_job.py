@@ -171,3 +171,35 @@ def test_derived_salt_buckets_spread_skew(spark, synth_dir, tmp_path):
     assert j.filter(F.col("extracted_text") != F.col("expected_text")).count() == 0
     hot = result.filter(F.col("conv_id") == "conv_000007")
     assert hot.select("chunk").distinct().count() >= 4
+
+
+def test_resume_reuses_pinned_salt(spark, synth_dir, tmp_path, monkeypatch):
+    """chunk/wave membership is a function of salt_buckets: a resumed run
+    must reuse the salt pinned at first run, never re-derive it (a different
+    sample could yield a different S and silently duplicate/drop rows)."""
+    import arabic_ocr_spark.job as job
+
+    out = str(tmp_path / "out")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_extraction(spark, f"{synth_dir}/transcripts.parquet", out,
+                       _cfg(salt_buckets=None), fail_after_wave=1)
+
+    def boom(*a, **k):
+        raise AssertionError("resume must not re-derive salt buckets")
+
+    monkeypatch.setattr(job, "derive_salt_buckets", boom)
+    stats = run_extraction(spark, f"{synth_dir}/transcripts.parquet", out, _cfg(salt_buckets=None))
+    assert stats["waves_skipped"] == 1 and stats["waves_run"] == 2
+    result = _read_out(spark, out)
+    assert result.groupBy("conv_id", "turn_idx").count().filter("count > 1").count() == 0
+    golden = spark.read.parquet(f"{synth_dir}/transcripts_golden.parquet")
+    j = result.join(golden, ["conv_id", "turn_idx"])
+    assert j.count() == result.count()
+    assert j.filter(F.col("extracted_text") != F.col("expected_text")).count() == 0
+
+    # explicitly conflicting partitioning parameters are rejected
+    with pytest.raises(ValueError, match="salted with"):
+        run_extraction(spark, f"{synth_dir}/transcripts.parquet", out, _cfg(salt_buckets=999))
+    with pytest.raises(ValueError, match="resume must use the same"):
+        run_extraction(spark, f"{synth_dir}/transcripts.parquet", out,
+                       _cfg(num_chunks=5, salt_buckets=None))

@@ -109,10 +109,12 @@ def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
                     "CAST(ts AS TIMESTAMP) ts"))
     t0 = pd.Timestamp("2026-01-01 10:00:00")
     mk([("a", 0, "u", "PAYLOAD-1", "", t0),
-        ("a", 1, "u", "PAYLOAD-2", "", t0 + pd.Timedelta(minutes=1))]) \
+        ("a", 1, "u", "PAYLOAD-2", "", t0 + pd.Timedelta(minutes=1)),
+        ("a", 2, "u", "", "", t0 + pd.Timedelta(minutes=1, seconds=30))]) \
         .coalesce(1).write.parquet(os.path.join(d, "f1"))
     mk([("b", 0, "u", "PAYLOAD-1", "", t0 + pd.Timedelta(minutes=2)),   # dup of batch 1
-        ("b", 1, "u", "PAYLOAD-3", "", t0 + pd.Timedelta(minutes=3))]) \
+        ("b", 1, "u", "PAYLOAD-3", "", t0 + pd.Timedelta(minutes=3)),
+        ("b", 2, "u", "", "", t0 + pd.Timedelta(minutes=4))]) \
         .coalesce(1).write.parquet(os.path.join(d, "f2"))
 
     stream = (spark.readStream.schema(TRANSCRIPTS_SCHEMA)
@@ -125,5 +127,7 @@ def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
     q.awaitTermination()
     rows = spark.read.parquet(out).collect()
     texts = sorted(r["text"] for r in rows)
-    assert texts == ["PAYLOAD-1", "PAYLOAD-2", "PAYLOAD-3"]  # dup dropped
+    # payload dup dropped; BOTH blank turns pass through un-deduped
+    assert texts == ["", "", "PAYLOAD-1", "PAYLOAD-2", "PAYLOAD-3"]
     assert {r["conv_id"] for r in rows if r["text"] == "PAYLOAD-1"} == {"a"}  # first wins
+    assert {(r["conv_id"], r["turn_idx"]) for r in rows if r["text"] == ""} == {("a", 2), ("b", 2)}
