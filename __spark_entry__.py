@@ -45,6 +45,7 @@ from arabic_ocr_spark.operators.textstats import (
     BPE_SPLIT_PATTERN,
     LANG_MARKERS,
     bpe_token_stats,
+    curated_docs,
     fingerprints,
     lang_id,
     quality_scores,
@@ -233,6 +234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hour_s", F.date_format("hour", "yyyy-MM-dd HH:mm:ss")).drop("hour")
     q["asof_join"] = lambda s, d: asof_last_event(_t(s, d, "events"))
     q["range_join"] = lambda s, d: events_within_interval(_t(s, d, "events"))
+    q["curated_docs"] = lambda s, d: curated_docs(
+        _t(s, d, "documents"), dedup_groups(_t(s, d, "documents")))
     return q
 
 
@@ -481,4 +484,22 @@ FROM events a JOIN events b
  AND epoch_us(b.ts) > epoch_us(a.ts)
  AND epoch_us(b.ts) <= epoch_us(a.ts) + 600000000
 """
+
+    # curation keep-list: extend the dedup_groups recursive chain with the
+    # quality gate and token budget (one survivor per duplicate cluster)
+    final_sel = """SELECT d.doc_id, coalesce(g.group_rep, d.doc_id) AS group_rep
+FROM documents d
+LEFT JOIN (SELECT a AS doc_id, min(b) AS group_rep FROM reach GROUP BY a) g
+  ON g.doc_id = d.doc_id"""
+    assert final_sel in sql["dedup_groups"]
+    sql["curated_docs"] = sql["dedup_groups"].replace(final_sel, """, groups AS (
+""" + final_sel + """
+)
+SELECT d.doc_id,
+  CAST(len(list_filter(regexp_split_to_array(trim(d.text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+FROM documents d
+JOIN groups gr ON gr.doc_id = d.doc_id AND gr.group_rep = d.doc_id
+WHERE length(d.text) >= 20
+  AND round(CAST(length(d.text) - length(regexp_replace(d.text, '[A-Za-z]', '', 'g')) AS DOUBLE) / greatest(length(d.text), 1), 4) >= 0.5
+  AND round(CAST(length(d.text) - length(regexp_replace(d.text, '[0-9]', '', 'g')) AS DOUBLE) / greatest(length(d.text), 1), 4) <= 0.3""")
     return sql

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["token_stats", "bpe_token_stats", "quality_scores", "lang_id", "fingerprints",
-           "LANG_MARKERS", "BPE_SPLIT_PATTERN"]
+           "curated_docs", "LANG_MARKERS", "BPE_SPLIT_PATTERN"]
 
 # GPT-2-style pre-tokenization split, made engine-portable: no lookahead
 # (RE2 lacks it) and explicit ASCII classes (identical semantics in Java
@@ -137,4 +137,25 @@ def bpe_token_stats(docs: DataFrame) -> DataFrame:
             .otherwise(F.lit(0.0)),
             4,
         ).alias("avg_piece_len"),
+    )
+
+
+def curated_docs(docs: DataFrame, dedup_groups_df: DataFrame) -> DataFrame:
+    """The end-to-end curation keep-list: documents that (a) pass the
+    quality gate and (b) are their near-duplicate group's representative
+    (group_rep == doc_id — one survivor per duplicate cluster), annotated
+    with their whitespace-token budget.
+
+    Composes quality_scores + dedup_groups + token_stats into the single
+    decision a training-data pipeline actually ships: keep/drop + cost.
+    Joins are on doc_id (the corpus key): at scale both sides arrive
+    hash-partitioned on it and the joins co-locate."""
+    q = quality_scores(docs).select("doc_id", "quality_ok")
+    t = token_stats(docs).select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+    return (
+        dedup_groups_df.filter(F.col("group_rep") == F.col("doc_id"))
+        .join(q, "doc_id")
+        .filter(F.col("quality_ok") == 1)
+        .join(t, "doc_id")
+        .select("doc_id", "n_tokens")
     )

@@ -68,6 +68,7 @@ def main() -> None:
         "events_hourly",
         "asof_join",
         "range_join",
+        "curated_docs",
     ]
 
     timings: dict[str, float] = {}
