@@ -203,3 +203,22 @@ def test_resume_reuses_pinned_salt(spark, synth_dir, tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="resume must use the same"):
         run_extraction(spark, f"{synth_dir}/transcripts.parquet", out,
                        _cfg(num_chunks=5, salt_buckets=None))
+
+
+def test_waves_with_dedup_payloads(spark, synth_dir, tmp_path):
+    """Wave predicates and distinct-payload extraction compose: each wave
+    dedups within its own rows, the union over waves is complete, exact,
+    and duplicate-free, and resume still works."""
+    out = str(tmp_path / "out")
+    cfg = _cfg(dedup_payloads=True)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_extraction(spark, f"{synth_dir}/transcripts.parquet", out, cfg, fail_after_wave=1)
+    stats = run_extraction(spark, f"{synth_dir}/transcripts.parquet", out, _cfg(dedup_payloads=True))
+    assert stats["waves_skipped"] == 1 and stats["waves_run"] == 2
+    result = _read_out(spark, out)
+    n_src = spark.read.parquet(f"{synth_dir}/transcripts.parquet").filter("text <> ''").count()
+    assert result.count() == n_src
+    assert result.groupBy("conv_id", "turn_idx").count().filter("count > 1").count() == 0
+    golden = spark.read.parquet(f"{synth_dir}/transcripts_golden.parquet")
+    j = result.join(golden, ["conv_id", "turn_idx"])
+    assert j.filter(F.col("extracted_text") != F.col("expected_text")).count() == 0
