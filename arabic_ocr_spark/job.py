@@ -48,7 +48,7 @@ from .kernel.segmentation import TemplateSpec
 from .sources.codec import decode_payload
 
 __all__ = ["ExtractionJobConfig", "derive_salt_buckets", "plan_extraction",
-           "run_extraction", "read_lineage"]
+           "stage_chunked", "run_extraction", "read_lineage"]
 
 RESULT_SCHEMA = (
     "conv_id string, turn_idx int, chunk int, part_id int, extracted_text string, "
@@ -176,7 +176,7 @@ def _make_kernel(model_bc, templates_bc, passthrough_col: str | None = None):
 
 def plan_extraction(spark, df, cfg: ExtractionJobConfig, model: CharModel | None = None,
                     templates: list[TemplateSpec] | None = None, wave: int | None = None,
-                    model_bc=None, templates_bc=None):
+                    model_bc=None, templates_bc=None, prechunked: bool = False):
     """Builds the extraction DataFrame (no side effects; one shuffle).
 
     wave: restrict the plan to one checkpoint wave.  The predicate is on the
@@ -198,24 +198,30 @@ def plan_extraction(spark, df, cfg: ExtractionJobConfig, model: CharModel | None
     if templates_bc is None:
         templates_bc = spark.sparkContext.broadcast(templates or [])
 
-    cols = df.select("conv_id", "turn_idx", "text")
-    if cfg.payload_roles:
-        cols = df.filter(F.col("role").isin(*cfg.payload_roles)).select("conv_id", "turn_idx", "text")
+    if prechunked:
+        # staged input (stage_chunked): the salted chunk column is already
+        # materialized and the caller's read was partition-pruned to the
+        # wave — no hashing, no wave filter
+        salted = df.select("conv_id", "turn_idx", "text", "chunk")
+    else:
+        cols = df.select("conv_id", "turn_idx", "text")
+        if cfg.payload_roles:
+            cols = df.filter(F.col("role").isin(*cfg.payload_roles)).select("conv_id", "turn_idx", "text")
 
-    salt_buckets = cfg.salt_buckets
-    if salt_buckets is None:
-        salt_buckets = derive_salt_buckets(cols, cfg.num_chunks)
-        cfg.salt_buckets = salt_buckets  # pin: every wave must salt identically
+        salt_buckets = cfg.salt_buckets
+        if salt_buckets is None:
+            salt_buckets = derive_salt_buckets(cols, cfg.num_chunks)
+            cfg.salt_buckets = salt_buckets  # pin: every wave must salt identically
 
-    salted = cols.withColumn(
-        "chunk",
-        F.pmod(
-            F.xxhash64(F.col("conv_id"), F.pmod(F.xxhash64(F.col("turn_idx")), F.lit(salt_buckets))),
-            F.lit(cfg.num_chunks),
-        ).cast("int"),
-    )
-    if wave is not None:
-        salted = salted.filter(_wave_of(F.col("chunk"), cfg.num_waves) == wave)
+        salted = cols.withColumn(
+            "chunk",
+            F.pmod(
+                F.xxhash64(F.col("conv_id"), F.pmod(F.xxhash64(F.col("turn_idx")), F.lit(salt_buckets))),
+                F.lit(cfg.num_chunks),
+            ).cast("int"),
+        )
+        if wave is not None:
+            salted = salted.filter(_wave_of(F.col("chunk"), cfg.num_waves) == wave)
     if cfg.dedup_payloads:
         # extract once per distinct payload, join results back to the turns.
         # The distinct side repartitions on the payload hash (its own even
@@ -263,6 +269,42 @@ def _wave_of(chunk_col, num_waves: int):
     return F.pmod(chunk_col, F.lit(num_waves)).cast("int")
 
 
+def stage_chunked(spark, df, cfg: ExtractionJobConfig, staged_dir: str) -> str:
+    """ONE pass over the raw input writing it re-laid-out as
+    `staged_dir/wave=<w>/` partitions with the salted chunk column
+    materialized.  Why: the wave predicate is a hash of (conv_id, turn_idx)
+    and cannot push into a parquet/Iceberg scan, so every checkpointed wave
+    of `run_extraction` re-scans the FULL input to find its rows — cheap
+    relative to the OCR kernel at small wave counts, but W full scans at
+    W=64 on 100 TB is real money.  Staging costs one scan + one write, and
+    afterwards each wave's read is partition-pruned to exactly its 1/W of
+    the bytes (run_extraction detects the wave=... layout automatically).
+    The production analog is an Iceberg table partitioned by the wave
+    column; the staged copy is also what you keep when the same corpus
+    will be extracted more than once."""
+    from pyspark.sql import functions as F
+
+    if cfg.salt_buckets is None:
+        cfg.salt_buckets = derive_salt_buckets(df.select("conv_id", "turn_idx", "text"), cfg.num_chunks)
+    cols = df.select("conv_id", "turn_idx", "text")
+    salted = cols.withColumn(
+        "chunk",
+        F.pmod(
+            F.xxhash64(F.col("conv_id"), F.pmod(F.xxhash64(F.col("turn_idx")), F.lit(cfg.salt_buckets))),
+            F.lit(cfg.num_chunks),
+        ).cast("int"),
+    ).withColumn("wave", _wave_of(F.col("chunk"), cfg.num_waves))
+    salted.write.mode("overwrite").partitionBy("wave").parquet(staged_dir)
+    with open(os.path.join(staged_dir, "_partitioning.json"), "w", encoding="utf-8") as f:
+        json.dump({"num_chunks": cfg.num_chunks, "num_waves": cfg.num_waves,
+                   "salt_buckets": cfg.salt_buckets}, f)
+    return staged_dir
+
+
+def _is_staged(input_path: str | None) -> bool:
+    return bool(input_path) and os.path.exists(os.path.join(input_path, "_partitioning.json"))
+
+
 def read_lineage(spark, output_dir: str):
     """All committed lineage rows, or None when no wave has committed."""
     paths = sorted(glob.glob(os.path.join(output_dir, "lineage", "wave=*")))
@@ -296,6 +338,21 @@ def run_extraction(
     cfg = cfg or ExtractionJobConfig()
     if (input_path is None) == (input_table is None):
         raise ValueError("exactly one of input_path / input_table is required")
+    staged = _is_staged(input_path)
+    if staged:
+        # stage_chunked layout: adopt its pinned partitioning (the chunk
+        # column in the data was computed with it) and read the wave-
+        # partitioned copy so per-wave scans prune to 1/num_waves
+        with open(os.path.join(input_path, "_partitioning.json"), encoding="utf-8") as f:
+            sp = json.load(f)
+        if sp["num_chunks"] != cfg.num_chunks or sp["num_waves"] != cfg.num_waves:
+            raise ValueError(
+                f"staged input was chunked with num_chunks={sp['num_chunks']}, "
+                f"num_waves={sp['num_waves']}; the run must use the same values"
+            )
+        if cfg.salt_buckets is not None and cfg.salt_buckets != sp["salt_buckets"]:
+            raise ValueError(f"staged input was salted with S={sp['salt_buckets']}")
+        cfg.salt_buckets = sp["salt_buckets"]
     df = spark.table(input_table) if input_table else spark.read.parquet(input_path)
     if cfg.require_payload:
         df = df.filter(F.col("text") != "")
@@ -353,10 +410,18 @@ def run_extraction(
 
         # per-wave plan: the wave predicate sits BELOW the kernel (on the
         # pre-shuffle salted chunk), so this wave scans/shuffles/extracts
-        # only its own 1/num_waves of the rows
-        wave_df = plan_extraction(
-            spark, df, cfg, wave=wave, model_bc=model_bc, templates_bc=templates_bc
-        )
+        # only its own 1/num_waves of the rows; with a staged input the
+        # predicate is a PARTITION filter and even the scan reads 1/W
+        if staged:
+            wave_src = df.filter(F.col("wave") == wave).drop("wave")
+            wave_df = plan_extraction(
+                spark, wave_src, cfg, model_bc=model_bc, templates_bc=templates_bc,
+                prechunked=True,
+            )
+        else:
+            wave_df = plan_extraction(
+                spark, df, cfg, wave=wave, model_bc=model_bc, templates_bc=templates_bc
+            )
         wave_df.write.mode("overwrite").parquet(data_dir)
         if cfg.iceberg_table and _iceberg_available(spark):
             # production path: one atomic Iceberg snapshot per wave
@@ -406,7 +471,12 @@ def run_extraction(
         )
         lin.coalesce(1).write.mode("overwrite").parquet(lin_dir)
         waves_run += 1
-        rows_written += written.count()
+        # row count from the just-committed (tiny) lineage — not another
+        # pass over the wave's data
+        rows_written += (
+            spark.read.schema(LINEAGE_SCHEMA).parquet(lin_dir)
+            .agg(F.sum("rows_processed")).collect()[0][0] or 0
+        )
         if fail_after_wave is not None and waves_run >= fail_after_wave:
             raise RuntimeError(f"injected failure after wave {wave}")
 

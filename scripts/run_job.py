@@ -41,11 +41,14 @@ def main() -> None:
     ap.add_argument("--dedup-payloads", default="false",
                     help="extract once per distinct payload and join back (duplicate-heavy corpora)")
     ap.add_argument("--streaming", default="false")
+    ap.add_argument("--stage-to", default=None,
+                    help="stage the input wave-partitioned at this path first, then run "
+                         "from it (one scan+write; every wave's read is then pruned to 1/W)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
-    from arabic_ocr_spark.job import ExtractionJobConfig, run_extraction
+    from arabic_ocr_spark.job import ExtractionJobConfig, run_extraction, stage_chunked
     from arabic_ocr_spark.sources.synth import default_model_path
     from arabic_ocr_spark.streaming.stream_job import run_streaming_extraction
 
@@ -65,8 +68,12 @@ def main() -> None:
         run_streaming_extraction(spark, args.input, args.output, cfg)
         print(json.dumps({"mode": "streaming", "output": args.output}))
     else:
-        stats = run_extraction(spark, args.input, args.output, cfg,
-                               input_table=args.input_table)
+        input_path, input_table = args.input, args.input_table
+        if args.stage_to:
+            src = spark.table(input_table) if input_table else spark.read.parquet(input_path)
+            input_path, input_table = stage_chunked(spark, src, cfg, args.stage_to), None
+        stats = run_extraction(spark, input_path, args.output, cfg,
+                               input_table=input_table)
         print(json.dumps({"mode": "batch", **stats}))
     spark.stop()
 

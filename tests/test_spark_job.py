@@ -222,3 +222,32 @@ def test_waves_with_dedup_payloads(spark, synth_dir, tmp_path):
     golden = spark.read.parquet(f"{synth_dir}/transcripts_golden.parquet")
     j = result.join(golden, ["conv_id", "turn_idx"])
     assert j.filter(F.col("extracted_text") != F.col("expected_text")).count() == 0
+
+
+def test_staged_input_equals_direct(spark, synth_dir, tmp_path):
+    """stage_chunked + run == direct run (identical rows), the staged read
+    is partition-pruned per wave, and mismatched partitioning params are
+    rejected."""
+    from arabic_ocr_spark.job import plan_extraction, stage_chunked
+
+    cfg = _cfg()
+    staged = str(tmp_path / "staged")
+    df = spark.read.parquet(f"{synth_dir}/transcripts.parquet")
+    stage_chunked(spark, df, cfg, staged)
+
+    out_s, out_d = str(tmp_path / "o_staged"), str(tmp_path / "o_direct")
+    run_extraction(spark, staged, out_s, _cfg())
+    run_extraction(spark, f"{synth_dir}/transcripts.parquet", out_d, _cfg())
+    cols = ["conv_id", "turn_idx", "chunk", "extracted_text", "ok"]
+    a, b = _read_out(spark, out_s).select(cols), _read_out(spark, out_d).select(cols)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # the wave predicate reaches the staged scan as a PARTITION filter
+    staged_df = spark.read.parquet(staged).filter(F.col("text") != "")
+    plan = (staged_df.filter(F.col("wave") == 1)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "PartitionFilters: [isnotnull(wave" in plan
+
+    with pytest.raises(ValueError, match="staged input was chunked"):
+        run_extraction(spark, staged, str(tmp_path / "o_bad"), _cfg(num_waves=7))
