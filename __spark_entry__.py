@@ -38,6 +38,7 @@ from arabic_ocr_spark.operators.similarity import (
     ann_recall,
     cosine_topk,
     embedding_dup_pairs,
+    embedding_neardup_hi,
     ivf_ann_topk,
     lsh_ann_topk,
 )
@@ -178,6 +179,41 @@ def _q_extract_lineage(spark, sf_dir):
     )
 
 
+def _augmented_embeddings(spark: SparkSession, sf_dir: str,
+                          n_planted: int = 40, n_decoys: int = 10) -> DataFrame:
+    """The embeddings table plus DETERMINISTICALLY planted near-duplicates,
+    the fixture for the high-threshold (0.95) near-dup operator: the raw
+    synthetic embeddings max out at pairwise cosine ~0.48, so without
+    planting the 0.95 regime would be vacuously empty.
+
+    Planted rows are pure arithmetic on the base vectors (coordinate i of
+    vec v scaled by 1 + a*((i%7)-3)/30), so the DuckDB oracle reconstructs
+    the identical doubles from the identical parquet floats:
+    - vec_id < n_planted -> id+1_000_000 with a = 0.5*(1 + vec_id%4):
+      cosines ~0.991..0.9997, all ABOVE the 0.95 threshold (true dups);
+    - vec_id in [n_planted, n_planted+n_decoys) -> id+2_000_000 with a = 6:
+      cosines ~0.92, BELOW threshold — decoys that the LSH bands mostly
+      surface as candidates and the exact verify must then reject."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+
+    def planted(lo, hi, id_off, amp_col):
+        return emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).select(
+            (F.col("vec_id") + id_off).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x * (1 + amp_col * ((i % 7) - 3) / F.lit(30.0)),
+            ).alias("embedding"),
+        )
+
+    dup_amp = F.lit(0.5) * (1 + F.col("vec_id") % 4)
+    return (
+        emb.unionByName(planted(0, n_planted, 1_000_000, dup_amp))
+        .unionByName(planted(n_planted, n_planted + n_decoys, 2_000_000, F.lit(6.0)))
+    )
+
+
 def _q_payload_meta(spark, sf_dir):
     """Multimodal envelope headers (height, width, valid) decoded entirely
     JVM-side (operators/multimodal.py) — the cheap validity sweep."""
@@ -227,6 +263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cosine_topk"] = lambda s, d: cosine_topk(_t(s, d, "embeddings")).withColumn(
         "rank", F.col("rank").cast("long"))
     q["embedding_dup_pairs"] = lambda s, d: embedding_dup_pairs(_t(s, d, "embeddings"))
+    q["embedding_neardup_hi"] = lambda s, d: embedding_neardup_hi(_augmented_embeddings(s, d))
     q["pricing_summary"] = lambda s, d: pricing_summary(_t(s, d, "lineitem"))
     q["orders_by_nation"] = lambda s, d: orders_by_nation(
         _t(s, d, "orders"), _t(s, d, "customer"), _t(s, d, "nation"))
@@ -438,6 +475,31 @@ SELECT vec_a, vec_b, sim_r FROM (
           / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) AS sim_r
   FROM v a JOIN v b ON a.vec_id < b.vec_id
 ) WHERE sim_r >= 0.38
+"""
+
+    # high-threshold near-dup: the oracle replays the deterministic planting
+    # arithmetic (_augmented_embeddings) on the same parquet floats, then
+    # does the exact all-pairs join at 0.95 — the Spark side must find every
+    # planted duplicate through its LSH bands and reject every decoy
+    perturb = ("[emb[g] * (1 + {amp} * (((g-1) % 7) - 3) / CAST(30.0 AS DOUBLE)) "
+               "for g in generate_series(1, len(emb))]")
+    sql["embedding_neardup_hi"] = f"""
+WITH base AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings),
+aug AS (
+  SELECT vec_id, emb FROM base
+  UNION ALL
+  SELECT vec_id + 1000000, {perturb.format(amp="CAST(0.5 AS DOUBLE) * (1 + vec_id % 4)")}
+  FROM base WHERE vec_id < 40
+  UNION ALL
+  SELECT vec_id + 2000000, {perturb.format(amp="CAST(6.0 AS DOUBLE)")}
+  FROM base WHERE vec_id >= 40 AND vec_id < 50
+)
+SELECT vec_a, vec_b, sim_r FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    round(list_dot_product(a.emb, b.emb)
+          / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) AS sim_r
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+) WHERE sim_r >= 0.95
 """
 
     sql["pricing_summary"] = """

@@ -201,8 +201,20 @@ def plan_extraction(spark, df, cfg: ExtractionJobConfig, model: CharModel | None
     if prechunked:
         # staged input (stage_chunked): the salted chunk column is already
         # materialized and the caller's read was partition-pruned to the
-        # wave — no hashing, no wave filter
-        salted = df.select("conv_id", "turn_idx", "text", "chunk")
+        # wave — no hashing, no wave filter.  The role filter still applies
+        # here: stage_chunked carries `role` through the staged layout
+        # precisely so a role-restricted run over a staged directory is not
+        # a silent no-op (a pre-r3 staged layout without the column raises
+        # rather than extracting every role)
+        base = df
+        if cfg.payload_roles:
+            if "role" not in base.columns:
+                raise ValueError(
+                    "payload_roles is set but the staged input has no 'role' "
+                    "column; re-run stage_chunked on a role-bearing source"
+                )
+            base = base.filter(F.col("role").isin(*cfg.payload_roles))
+        salted = base.select("conv_id", "turn_idx", "text", "chunk")
     else:
         cols = df.select("conv_id", "turn_idx", "text")
         if cfg.payload_roles:
@@ -286,7 +298,11 @@ def stage_chunked(spark, df, cfg: ExtractionJobConfig, staged_dir: str) -> str:
 
     if cfg.salt_buckets is None:
         cfg.salt_buckets = derive_salt_buckets(df.select("conv_id", "turn_idx", "text"), cfg.num_chunks)
-    cols = df.select("conv_id", "turn_idx", "text")
+    # `role` rides along so a later role-restricted run over the staged
+    # layout can still filter (plan_extraction's prechunked branch); sources
+    # without the column stage role-less and such runs raise there
+    keep = ["conv_id", "turn_idx", "text"] + (["role"] if "role" in df.columns else [])
+    cols = df.select(*keep)
     salted = cols.withColumn(
         "chunk",
         F.pmod(

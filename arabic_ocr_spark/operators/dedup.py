@@ -121,13 +121,14 @@ def jaccard_verified_pairs(docs: DataFrame, k: int = 7, num_hashes: int = 8,
     ints = F.array_distinct(
         F.transform(_shingles(k), lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
     )
-    sh = docs.select("doc_id", ints.alias("shingles")).withColumn(
-        "n_sh", F.size("shingles")
-    ).localCheckpoint()  # shingle chain evaluated once, reused by 4 joins below
-    sizes = sh.select("doc_id", "n_sh")
-    arrays = sh.select("doc_id", "shingles")
-    if broadcast_shingles:
-        sizes, arrays = F.broadcast(sizes), F.broadcast(arrays)
+    # only the (doc_id, n_sh) SIZE table is materialized corpus-wide: at
+    # 100 TB checkpointing the full shingle-int arrays would pin
+    # O(corpus x k) bytes of executor storage (and localCheckpoint is
+    # non-resilient to executor loss); the wide arrays are instead
+    # re-derived only for the doc_ids that survive the size prefilter,
+    # via a semi-join-reduced second scan
+    sizes = docs.select("doc_id", F.size(ints).alias("n_sh")).localCheckpoint()
+    sizes_j = F.broadcast(sizes) if broadcast_shingles else sizes
     # size-bound prefilter (AllPairs): J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
     # so pairs whose set sizes are too disproportionate cannot reach the
     # threshold.  Sizes attach first so the (much wider) shingle arrays are
@@ -136,10 +137,18 @@ def jaccard_verified_pairs(docs: DataFrame, k: int = 7, num_hashes: int = 8,
     # threshold still rounds up to it and must not be pruned (the oracle
     # has no prefilter).
     filtered = (
-        cands.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        cands.join(sizes_j.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes_j.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
         .filter(F.least("na", "nb") >= (threshold - 6e-5) * F.greatest("na", "nb"))
+    ).localCheckpoint()  # tiny surviving pair list; feeds the id-union + both array joins
+    cand_ids = (
+        filtered.select(F.col("doc_a").alias("doc_id"))
+        .union(filtered.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
+    arrays = docs.join(cand_ids, "doc_id", "left_semi").select("doc_id", ints.alias("shingles"))
+    if broadcast_shingles:
+        arrays = F.broadcast(arrays)
     withsets = (
         filtered.join(arrays.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
         .join(arrays.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")

@@ -45,7 +45,11 @@ def payload_meta(df: DataFrame) -> DataFrame:
         & (F.substring(raw, 1, 4) == F.lit(b"GRY1"))
         & (h > 0)
         & (w > 0)
-        & (F.length(raw) == _HEADER_LEN + h * w)
+        # h,w are u16 (<= 65535 each): the product must be computed in long —
+        # in int32 a crafted header with large declared dims wraps and a short
+        # body could pass valid=true where the Python codec (unbounded ints)
+        # returns None
+        & (F.length(raw).cast("long") == _HEADER_LEN + h.cast("long") * w.cast("long"))
     )
     return df.select(
         "conv_id",

@@ -18,7 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "ann_recall", "embedding_dup_pairs"]
+__all__ = ["cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "ann_recall", "embedding_dup_pairs",
+           "embedding_neardup_candidates", "embedding_neardup_hi"]
 
 
 def _cosine(a, b):
@@ -74,7 +75,7 @@ def _hyperplane_sign(v, plane_seed: int):
 
 
 def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.38,
-                        block_rows: int = 1024) -> DataFrame:
+                        block_rows: int = 1024, n_rows: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (vec_a < vec_b, sim_r) with
     cosine >= threshold (default calibrated to the synthetic fixture
     embeddings, whose max pairwise cosine is ~0.48; production near-dup
@@ -106,7 +107,10 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.38,
     import pandas as pd
 
     vecs = embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    n = vecs.count()
+    # n only sizes the block grid — pass n_rows (e.g. a catalog/metadata row
+    # count) to avoid the planning-time full pass; any approximate count of
+    # the right magnitude yields the same task layout
+    n = n_rows if n_rows is not None else vecs.count()
     num_blocks = max(1, -(-n // block_rows))
     blocked = vecs.withColumn(
         "block", F.pmod(F.xxhash64("vec_id"), F.lit(num_blocks)).cast("int")
@@ -155,6 +159,115 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.38,
             yield pd.DataFrame({"vec_a": a, "vec_b": b})
 
     cand = tasks.mapInPandas(gemm_candidates, "vec_a bigint, vec_b bigint")
+    va = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", F.round(_cosine(F.col("va"), F.col("vb")), 4).alias("sim_r"))
+        .filter(F.col("sim_r") >= threshold)
+        .select("vec_a", "vec_b", "sim_r")
+    )
+
+
+def _band_buckets(vecs: DataFrame, n_bands: int, rows_per_band: int, seed: int) -> DataFrame:
+    """(vec_id, band, key): multi-band random-hyperplane signatures, the
+    SimHash/banding construction (Charikar 2002; banding shape per
+    operators/dedup.py lsh_candidate_pairs).  Each band's key packs
+    `rows_per_band` sign bits of Gaussian projections into one int64.
+
+    MAP-ONLY: one Arrow batch -> one (n x dim) @ (dim x bits) GEMM -> n_bands
+    rows per vector.  The plane matrix is a pure function of
+    (seed, n_bands * rows_per_band, dim), regenerated identically inside
+    every task — nothing is broadcast, results are run-stable."""
+    import numpy as np
+    import pandas as pd
+
+    bits_total = n_bands * rows_per_band
+    if rows_per_band > 62:
+        raise ValueError("rows_per_band must fit an int64 key")
+
+    def sig(batches):
+        planes: dict[int, np.ndarray] = {}
+        weights = 1 << np.arange(rows_per_band, dtype=np.int64)
+        bands = np.arange(n_bands, dtype=np.int32)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            d = X.shape[1]
+            P = planes.get(d)
+            if P is None:
+                P = np.random.default_rng(seed).standard_normal((bits_total, d))
+                planes[d] = P
+            bits = (X @ P.T) > 0  # (n, bits_total); sign of each projection
+            keys = bits.reshape(len(X), n_bands, rows_per_band) @ weights
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_bands),
+                "band": np.tile(bands, len(X)),
+                "key": keys.reshape(-1),
+            })
+
+    return vecs.mapInPandas(sig, "vec_id bigint, band int, key bigint")
+
+
+def embedding_neardup_candidates(embeddings: DataFrame, n_bands: int = 16,
+                                 rows_per_band: int = 12, seed: int = 7) -> DataFrame:
+    """Candidate near-duplicate pairs (vec_a < vec_b) sharing at least one
+    hyperplane-LSH band — the HIGH-threshold prefilter embedding_dup_pairs's
+    docstring defers to.
+
+    Probability calculus (p = 1 - theta/pi per hyperplane bit): a pair at
+    cosine 0.95 (p ~ 0.90) collides in a 12-bit band w.p. ~0.28, so all 16
+    bands miss it w.p. (1-0.28)^16 ~ 0.5%; at cosine 0.98+ the miss rate is
+    below 1e-4.  A background pair at cosine ~0 (p = 0.5) collides
+    anywhere w.p. 16 * 2^-12 ~ 0.4% — candidate volume stays O(n) on
+    near-orthogonal corpora instead of the exact path's n^2/2 GEMM entries.
+    Both rates are DETERMINISTIC for a fixed (seed, corpus): the planes are
+    a pure function of the seed, so recall is a testable constant, not a
+    random variable.
+
+    Scale shape: signature pass is map-only (one GEMM per Arrow batch); the
+    only shuffles are the self-join on the short (band, key) buckets and the
+    final distinct — identical to the MinHash-LSH text ladder, which is the
+    point: at 0.95+ this replaces a quadratic GEMM with a bucket join."""
+    vecs = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    buckets = _band_buckets(vecs, n_bands, rows_per_band, seed)
+    left, right = buckets.alias("l"), buckets.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b"))
+        .distinct()
+    )
+
+
+def embedding_neardup_hi(embeddings: DataFrame, threshold: float = 0.95,
+                         n_bands: int = 16, rows_per_band: int = 12,
+                         seed: int = 7) -> DataFrame:
+    """High-threshold embedding near-duplicate pairs: (vec_a < vec_b, sim_r)
+    with cosine >= threshold (>= 0.9 regime), as banded-LSH candidates +
+    exact HOF-cosine verification.
+
+    This is the production near-dup operator: at thresholds where banding
+    prunes (0.9+), candidate volume is far below n^2/2 and the whole job is
+    scan + bucket-join shaped.  For LOW thresholds (< ~0.6) use
+    embedding_dup_pairs — there banding cannot prune and the exact blocked
+    GEMM is the honest cost floor (see its docstring).  The verify stage
+    recomputes cosine with the sequential-fold HOF expression, so emitted
+    values are bit-identical to the DuckDB all-pairs oracle."""
+    if threshold < 0.9:
+        raise ValueError(
+            f"embedding_neardup_hi is the high-threshold (>=0.9) operator; "
+            f"at threshold={threshold} banding does not prune — use "
+            f"embedding_dup_pairs (exact blocked GEMM) instead"
+        )
+    vecs = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    cand = embedding_neardup_candidates(embeddings, n_bands, rows_per_band, seed)
     va = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     vb = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     return (
@@ -306,10 +419,17 @@ def ann_recall(embeddings: DataFrame, n_queries: int = 5, k: int = 10) -> DataFr
     # materialize the exact baseline once; both recall_of joins reuse it
     # instead of recomputing the full exact top-k per measurement
     exact = cosine_topk(embeddings, n_queries, k).select("query_id", "neighbor_id").localCheckpoint()
+    # denominator = the baseline's ACTUAL row count: on small corpora (or
+    # with ties filtered) the exact top-k yields fewer than n_queries*k
+    # neighbours, and a fixed denominator would understate even a perfect
+    # approximate result
+    n_exact = exact.count()
 
     def recall_of(approx: DataFrame):
+        if n_exact == 0:
+            return 1.0
         return (exact.join(approx.select("query_id", "neighbor_id"),
-                           ["query_id", "neighbor_id"]).count()) / (n_queries * k)
+                           ["query_id", "neighbor_id"]).count()) / n_exact
 
     ivf = ivf_ann_topk(embeddings, n_queries, k)
     lsh = lsh_ann_topk(embeddings, n_queries, k)

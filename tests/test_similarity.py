@@ -61,3 +61,33 @@ def test_ann_recall_gate(spark, embeddings):
     # the LSH variant is structurally weak on isotropic fixtures — it must
     # still return a sane (non-negative, <= ivf) measurement
     assert 0.0 <= r["lsh_recall"] <= r["ivf_recall"]
+
+
+def test_neardup_hi_finds_planted_dups_prunes_decoys(spark, embeddings):
+    """High-threshold near-dup: the LSH-band prefilter must surface every
+    planted duplicate (recall is deterministic for a fixed seed), the exact
+    verify must reject sub-threshold decoys, and candidate volume must stay
+    far below n^2/2 (the whole point vs the exact GEMM path)."""
+    import __spark_entry__ as entry
+    from arabic_ocr_spark.operators.similarity import (
+        embedding_neardup_candidates,
+        embedding_neardup_hi,
+    )
+
+    aug = entry._augmented_embeddings(spark, SF)
+    n = aug.count()
+    got = embedding_neardup_hi(aug).collect()
+    pairs = {(r.vec_a, r.vec_b) for r in got}
+    # every planted duplicate (id, id+1e6) survives candidates + verify
+    assert {(i, i + 1_000_000) for i in range(40)} <= pairs
+    assert all(r.sim_r >= 0.95 for r in got)
+    # ... and equals the brute-force all-pairs truth, value for value
+    want = sorted(tuple(r) for r in _brute_force_pairs(aug, 0.95).collect())
+    assert sorted(tuple(r) for r in got) == want
+    # banding prunes: orders of magnitude below all-pairs
+    n_cand = embedding_neardup_candidates(aug).count()
+    assert n_cand < (n * (n - 1) // 2) / 50
+
+    # low thresholds are the exact operator's job
+    with pytest.raises(ValueError, match="high-threshold"):
+        embedding_neardup_hi(aug, threshold=0.5)

@@ -251,3 +251,35 @@ def test_staged_input_equals_direct(spark, synth_dir, tmp_path):
 
     with pytest.raises(ValueError, match="staged input was chunked"):
         run_extraction(spark, staged, str(tmp_path / "o_bad"), _cfg(num_waves=7))
+
+
+def test_staged_input_respects_payload_roles(spark, synth_dir, tmp_path):
+    """A role-restricted run over a staged directory must filter exactly like
+    the direct path (the pre-r3 behavior silently extracted every role), and
+    a role-less staged layout must raise instead of no-op'ing."""
+    from arabic_ocr_spark.job import stage_chunked
+
+    df = spark.read.parquet(f"{synth_dir}/transcripts.parquet")
+    roles = tuple(
+        r["role"] for r in df.filter("text <> ''").select("role").distinct().limit(1).collect()
+    )
+    assert roles
+
+    staged = str(tmp_path / "staged")
+    stage_chunked(spark, df, _cfg(), staged)
+    out_s, out_d = str(tmp_path / "o_staged"), str(tmp_path / "o_direct")
+    run_extraction(spark, staged, out_s, _cfg(payload_roles=roles))
+    run_extraction(spark, f"{synth_dir}/transcripts.parquet", out_d, _cfg(payload_roles=roles))
+
+    cols = ["conv_id", "turn_idx", "chunk", "extracted_text", "ok"]
+    a, b = _read_out(spark, out_s).select(cols), _read_out(spark, out_d).select(cols)
+    n_expected = df.filter("text <> ''").filter(F.col("role").isin(*roles)).count()
+    assert a.count() == b.count() == n_expected
+    assert n_expected < df.filter("text <> ''").count()  # the filter actually filtered
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # staged layout WITHOUT a role column + payload_roles -> hard error
+    staged_noro = str(tmp_path / "staged_noro")
+    stage_chunked(spark, df.select("conv_id", "turn_idx", "text"), _cfg(), staged_noro)
+    with pytest.raises(ValueError, match="no 'role' column"):
+        run_extraction(spark, staged_noro, str(tmp_path / "o_nr"), _cfg(payload_roles=roles))
