@@ -216,10 +216,18 @@ def _augmented_embeddings(spark: SparkSession, sf_dir: str,
 
 def _q_payload_meta(spark, sf_dir):
     """Multimodal envelope headers (height, width, valid) decoded entirely
-    JVM-side (operators/multimodal.py) — the cheap validity sweep."""
+    JVM-side (operators/multimodal.py) — the cheap validity sweep.  Output
+    numerics cast to long so the schema matches the DuckDB oracle's BIGINTs
+    (driver compare is schema-strict)."""
     d = synth_dir_for(sf_dir)
     df = spark.read.parquet(os.path.join(d, "transcripts.parquet"))
-    return payload_meta(df)
+    m = payload_meta(df)
+    return m.select(
+        "conv_id", "turn_idx",
+        F.col("height").cast("long").alias("height"),
+        F.col("width").cast("long").alias("width"),
+        F.col("valid").cast("long").alias("valid"),
+    )
 
 
 def _q_payload_features(spark, sf_dir):
@@ -475,6 +483,42 @@ SELECT vec_a, vec_b, sim_r FROM (
           / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) AS sim_r
   FROM v a JOIN v b ON a.vec_id < b.vec_id
 ) WHERE sim_r >= 0.38
+"""
+
+    # payload_meta: the JVM-side envelope decode IS SQL-expressible — DuckDB
+    # decodes the same base64 and replays the little-endian hex arithmetic
+    # byte for byte.  The synth transcripts table is not among the driver's
+    # pre-registered views, so the oracle reads it by path; sf defaults to
+    # the driver's correctness scale (sf0.01) and tools/check_oracles.py
+    # overrides via env to keep its own sf_dir consistent.  synth_dir_for()
+    # builds the fixture if missing, so the oracle is self-sufficient
+    # whichever side the driver runs first.
+    meta_sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    tp = os.path.join(synth_dir_for(meta_sf), "transcripts.parquet").replace("'", "''")
+    sql["payload_meta"] = f"""
+WITH hx AS (
+  SELECT conv_id, turn_idx,
+    octet_length(from_base64(text)) AS n, hex(from_base64(text)) AS h
+  FROM read_parquet('{tp}')
+),
+dims AS (
+  SELECT conv_id, turn_idx, n,
+    TRY_CAST(concat('0x', substring(h, 11, 2), substring(h, 9, 2)) AS BIGINT) AS ht,
+    TRY_CAST(concat('0x', substring(h, 15, 2), substring(h, 13, 2)) AS BIGINT) AS wd,
+    substring(h, 1, 8) AS magic
+  FROM hx
+),
+ok AS (
+  SELECT conv_id, turn_idx, ht, wd,
+    coalesce(n >= 8 AND magic = '47525931' AND ht > 0 AND wd > 0
+             AND n = 8 + ht * wd, FALSE) AS valid
+  FROM dims
+)
+SELECT conv_id, turn_idx,
+  CASE WHEN valid THEN ht ELSE 0 END AS height,
+  CASE WHEN valid THEN wd ELSE 0 END AS width,
+  CAST(valid AS BIGINT) AS valid
+FROM ok
 """
 
     # high-threshold near-dup: the oracle replays the deterministic planting

@@ -48,7 +48,7 @@ from .kernel.segmentation import TemplateSpec
 from .sources.codec import decode_payload
 
 __all__ = ["ExtractionJobConfig", "derive_salt_buckets", "plan_extraction",
-           "stage_chunked", "run_extraction", "read_lineage"]
+           "stage_chunked", "run_extraction", "read_lineage", "lineage_rows"]
 
 RESULT_SCHEMA = (
     "conv_id string, turn_idx int, chunk int, part_id int, extracted_text string, "
@@ -321,6 +321,48 @@ def _is_staged(input_path: str | None) -> bool:
     return bool(input_path) and os.path.exists(os.path.join(input_path, "_partitioning.json"))
 
 
+def lineage_rows(written, wave: int, golden=None):
+    """Per-chunk lineage aggregate in the canonical LINEAGE_SCHEMA — the ONE
+    definition shared by the batch wave commit and the streaming foreachBatch
+    sink (stream_job.py), so a consumer written against either lineage table
+    reads both.  `wave` is the commit unit id (checkpoint wave in batch,
+    micro-batch id in streaming); `golden` an optional
+    (conv_id, turn_idx, expected_text) frame for the per-chunk
+    extraction-accuracy metric (null when no golden is configured)."""
+    from pyspark.sql import functions as F
+
+    if golden is not None:
+        written = written.join(
+            golden.select("conv_id", "turn_idx", "expected_text"),
+            ["conv_id", "turn_idx"], "left",
+        ).withColumn(
+            "is_exact", (F.col("extracted_text") == F.col("expected_text")).cast("double")
+        )
+    else:
+        written = written.withColumn("is_exact", F.lit(None).cast("double"))
+    return (
+        written.groupBy("chunk")
+        .agg(
+            F.count("*").alias("rows_processed"),
+            F.sum(F.col("ok").cast("long")).alias("n_ok"),
+            F.sum((~F.col("ok")).cast("long")).alias("n_failed"),
+            F.min("turn_idx").alias("turn_min"),
+            F.max("turn_idx").alias("turn_max"),
+            F.min("conv_id").alias("conv_min"),
+            F.max("conv_id").alias("conv_max"),
+            F.sum("proc_us").alias("wall_us"),
+            F.avg("is_exact").alias("extraction_acc"),
+        )
+        .withColumn("wave", F.lit(wave))
+        .withColumn("committed_at", F.lit(time.time()))
+        .select(
+            "wave", "chunk", "rows_processed", "n_ok", "n_failed",
+            "turn_min", "turn_max", "conv_min", "conv_max", "wall_us",
+            "extraction_acc", "committed_at",
+        )
+    )
+
+
 def read_lineage(spark, output_dir: str):
     """All committed lineage rows, or None when no wave has committed."""
     paths = sorted(glob.glob(os.path.join(output_dir, "lineage", "wave=*")))
@@ -454,37 +496,10 @@ def run_extraction(
         # metric columns only -> column-pruned scan), so lineage can never
         # claim rows that did not commit
         written = spark.read.parquet(data_dir)
-        if cfg.golden_path:
-            golden = spark.read.parquet(cfg.golden_path).select(
-                "conv_id", "turn_idx", "expected_text"
-            )
-            written = written.join(golden, ["conv_id", "turn_idx"], "left").withColumn(
-                "is_exact",
-                (F.col("extracted_text") == F.col("expected_text")).cast("double"),
-            )
-        else:
-            written = written.withColumn("is_exact", F.lit(None).cast("double"))
-        lin = (
-            written.groupBy("chunk")
-            .agg(
-                F.count("*").alias("rows_processed"),
-                F.sum(F.col("ok").cast("long")).alias("n_ok"),
-                F.sum((~F.col("ok")).cast("long")).alias("n_failed"),
-                F.min("turn_idx").alias("turn_min"),
-                F.max("turn_idx").alias("turn_max"),
-                F.min("conv_id").alias("conv_min"),
-                F.max("conv_id").alias("conv_max"),
-                F.sum("proc_us").alias("wall_us"),
-                F.avg("is_exact").alias("extraction_acc"),
-            )
-            .withColumn("wave", F.lit(wave))
-            .withColumn("committed_at", F.lit(time.time()))
-            .select(
-                "wave", "chunk", "rows_processed", "n_ok", "n_failed",
-                "turn_min", "turn_max", "conv_min", "conv_max", "wall_us",
-                "extraction_acc", "committed_at",
-            )
+        golden = (
+            spark.read.parquet(cfg.golden_path) if cfg.golden_path else None
         )
+        lin = lineage_rows(written, wave, golden)
         lin.coalesce(1).write.mode("overwrite").parquet(lin_dir)
         waves_run += 1
         # row count from the just-committed (tiny) lineage — not another

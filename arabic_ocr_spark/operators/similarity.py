@@ -440,20 +440,45 @@ def ann_recall(embeddings: DataFrame, n_queries: int = 5, k: int = 10) -> DataFr
     )
 
 
-def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10, n_planes: int = 4) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's hyperplane
-    bucket, then exact cosine within the bucket.  Same output shape as
-    cosine_topk (rows-only check: approximation is not SQL-oracle-pinned,
-    the bucketing is, via the deterministic planes)."""
+def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
+                 n_planes: int = 4, n_tables: int = 8) -> DataFrame:
+    """Approximate top-k via MULTI-TABLE hyperplane LSH: `n_tables`
+    independent `n_planes`-bit signature tables; a corpus vector is a
+    candidate for a query if it shares the query's bucket in ANY table
+    (OR-banding), then exact cosine ranks the candidates.  Same output shape
+    as cosine_topk (rows-only check: the bucketing is seed-stable via the
+    deterministic xxhash planes, the approximation is measured by
+    ann_recall).
+
+    The single-table variant this replaces measured recall@10 = 0.18 on the
+    isotropic fixture: one 4-bit bucket keeps only ~(1 - theta/pi)^4 of true
+    neighbours.  OR-banding is the standard recall repair — miss probability
+    drops to (1 - p^b)^T, lifting recall to ~0.6-0.8 at these defaults —
+    while the scan shape is unchanged: signatures are JVM-side map-only
+    work, and candidates come from ONE pass over the corpus against the
+    broadcast query signature set (no per-table corpus explode; the OR over
+    table keys is evaluated inside the broadcast join condition).  IVF
+    (ivf_ann_topk, recall ~0.9) remains the data-adaptive default; this is
+    the model-free alternative that needs no training pass."""
     vecs = embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    sig = F.concat_ws("", *[_hyperplane_sign(F.col("v"), s).cast("string") for s in range(n_planes)])
-    bucketed = vecs.withColumn("sig", sig)
-    queries = bucketed.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("q"), F.col("sig").alias("qsig")
+    keys = F.array(*[
+        F.concat_ws("", *[
+            _hyperplane_sign(F.col("v"), t * n_planes + b).cast("string")
+            for b in range(n_planes)
+        ])
+        for t in range(n_tables)
+    ])
+    sigs = vecs.withColumn("keys", keys)
+    queries = sigs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q"), F.col("keys").alias("qkeys")
     )
+    any_table_match = None
+    for t in range(n_tables):
+        m = F.col("keys")[t] == F.col("qkeys")[t]
+        any_table_match = m if any_table_match is None else (any_table_match | m)
     sims = (
-        bucketed.join(F.broadcast(queries),
-                      (F.col("sig") == F.col("qsig")) & (F.col("vec_id") != F.col("query_id")))
+        sigs.join(F.broadcast(queries),
+                  any_table_match & (F.col("vec_id") != F.col("query_id")))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),

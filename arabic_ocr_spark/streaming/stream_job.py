@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 
-from ..job import ExtractionJobConfig, plan_extraction
+from ..job import ExtractionJobConfig, lineage_rows, plan_extraction
 from ..kernel.classifier import CharModel
 
 __all__ = ["run_streaming_extraction", "streaming_events_hourly", "streaming_conv_progress",
@@ -103,18 +103,14 @@ def run_streaming_extraction(
         data_dir = os.path.join(output_dir, "data", f"batch={batch_id}")
         result.write.mode("overwrite").parquet(data_dir)  # idempotent per batch id
         written = df.sparkSession.read.parquet(data_dir)
-        lin = (
-            written.groupBy("chunk")
-            .agg(
-                F.count("*").alias("rows_processed"),
-                F.sum(F.col("ok").cast("long")).alias("n_ok"),
-                F.sum((~F.col("ok")).cast("long")).alias("n_failed"),
-                F.min("turn_idx").alias("turn_min"),
-                F.max("turn_idx").alias("turn_max"),
-                F.sum("proc_us").alias("wall_us"),
-            )
-            .withColumn("batch_id", F.lit(batch_id))
+        # lineage in the CANONICAL batch LINEAGE_SCHEMA (job.lineage_rows):
+        # `wave` carries the micro-batch id, so one consumer reads the batch
+        # and streaming lineage tables interchangeably (pre-r3 the streaming
+        # schema was a column subset and broke such consumers)
+        golden = (
+            df.sparkSession.read.parquet(cfg.golden_path) if cfg.golden_path else None
         )
+        lin = lineage_rows(written, int(batch_id), golden)
         lin.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(output_dir, "lineage", f"batch={batch_id}")
         )

@@ -58,9 +58,9 @@ def test_ann_recall_gate(spark, embeddings):
     """The graded ANN metric: IVF recall@10 vs exact cosine_topk >= 0.8."""
     r = ann_recall(embeddings).collect()[0]
     assert r["ivf_recall"] >= 0.8
-    # the LSH variant is structurally weak on isotropic fixtures — it must
-    # still return a sane (non-negative, <= ivf) measurement
-    assert 0.0 <= r["lsh_recall"] <= r["ivf_recall"]
+    # multi-table OR-banding lifted the LSH variant from 0.18 (single-table,
+    # round 2) to ~0.7 on the same isotropic fixture; gate the repair
+    assert r["lsh_recall"] >= 0.5
 
 
 def test_neardup_hi_finds_planted_dups_prunes_decoys(spark, embeddings):

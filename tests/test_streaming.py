@@ -78,3 +78,37 @@ def test_streaming_events_hourly_matches_batch(spark, tmp_path):  # noqa: F811
     b = {(r.win_hour, r.event_type): (r.n_events, r.sum_value) for r in batch.collect()}
     s = {(r.hour, r.event_type): (r.n_events, r.sum_value) for r in streamed.collect()}
     assert b == s and len(b) > 0
+
+
+def test_streaming_lineage_schema_equals_batch(spark, stream_synth, tmp_path):  # noqa: F811
+    """One consumer reads both lineage tables: the streaming foreachBatch
+    sink emits the canonical batch LINEAGE_SCHEMA (wave = micro-batch id),
+    not a column subset."""
+    from arabic_ocr_spark.job import LINEAGE_SCHEMA, run_extraction
+
+    s_out, b_out = str(tmp_path / "sout"), str(tmp_path / "bout")
+    run_streaming_extraction(spark, f"{stream_synth}/stream_in", s_out, _cfg())
+    run_extraction(spark, f"{stream_synth}/transcripts.parquet", b_out, _cfg())
+
+    # read the commit-unit dirs directly so partition discovery can't append
+    # the directory-name column (batch=/wave=); file-level schemas must be
+    # the canonical LINEAGE_SCHEMA on both paths
+    s_lin = spark.read.parquet(os.path.join(s_out, "lineage", "batch=0"))
+    b_lin = spark.read.parquet(os.path.join(b_out, "lineage", "wave=0"))
+    canon = [(f.name, f.dataType) for f in spark.createDataFrame([], LINEAGE_SCHEMA).schema]
+    assert [(f.name, f.dataType) for f in s_lin.schema] == canon
+    assert [(f.name, f.dataType) for f in b_lin.schema] == canon
+    # a consumer can union them directly
+    assert s_lin.unionByName(b_lin).count() == s_lin.count() + b_lin.count()
+
+
+def test_streaming_lineage_extraction_acc_with_golden(spark, stream_synth, tmp_path):  # noqa: F811
+    """golden_path now applies on the streaming path too: every micro-batch's
+    lineage rows carry extraction accuracy (exact => 1.0)."""
+    cfg = _cfg()
+    cfg.golden_path = f"{stream_synth}/transcripts_golden.parquet"
+    out = str(tmp_path / "sout")
+    run_streaming_extraction(spark, f"{stream_synth}/stream_in", out, cfg)
+    lin = spark.read.parquet(os.path.join(out, "lineage"))
+    accs = [r.extraction_acc for r in lin.collect()]
+    assert accs and all(a == 1.0 for a in accs)

@@ -67,3 +67,30 @@ def test_train_spark_equals_serial(spark):
     model = train_spark(spark, pages)
     serial = CharModel.from_raw(serial_raw)
     assert model.to_raw() == serial.to_raw()
+
+
+def test_reference_ground_truth_corpus_pinned():
+    """The reference's only committed ground-truth corpus
+    (/root/reference/inputs_text/{capr4,csep1622}.txt) read through
+    normalize_ground_truth must reproduce the loader semantics of reference
+    integrator.py:4-15: space runs collapsed, newline stripped, the lam-alef
+    ligature mapped to its 'L' sentinel, empties dropped.  Word counts and
+    sentinel counts pinned — the corpus twin of the config_map.json interop
+    tests (same 5-line-test gap the model artifact had in round 1)."""
+    import os
+
+    import pytest
+
+    ref = "/root/reference/inputs_text"
+    if not os.path.isdir(ref):
+        pytest.skip("reference corpus not present")
+    expected = {"capr4.txt": (375, 38), "csep1622.txt": (152, 19)}
+    for name, (n_words, n_lig) in expected.items():
+        with open(os.path.join(ref, name), encoding="utf-8") as f:
+            words = normalize_ground_truth(f.readline())
+        assert len(words) == n_words
+        # the ligature sentinel survives, the raw ligature never does
+        assert sum(1 for w in words if "L" in w) == n_lig
+        assert not any("لا" in w for w in words)
+        # loader invariants: no empties, no residual double spaces/newlines
+        assert all(w and " " not in w and "\n" not in w for w in words)

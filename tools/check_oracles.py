@@ -40,6 +40,9 @@ def main() -> int:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    # oracles that read the synth transcripts by path (payload_meta) must
+    # point at THIS sf_dir's synth fixture, not the driver default (sf0.01)
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     spark = get_spark(master="local[4]", shuffle_partitions=8)
     con = duckdb.connect()
