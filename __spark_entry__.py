@@ -61,6 +61,11 @@ _SYNTH_SIZES = {
     # bench scale: big enough that per-job fixed overhead (~5s: python
     # worker spin-up, broadcast, scheduling) amortizes into the noise
     "sf0.1": SynthConfig(n_convs=1200, pool_size=300, mean_turns=12),
+    # data-scale point (~10x sf0.1 turns): used by ad-hoc runs with
+    # SPARK_GRAFT_SF_DIR pointed at an sf1 dir; the dedup/ANN ladders get
+    # their 10x evidence from tools/bench_datascale.py, which derives a 10x
+    # corpus from the sf0.1 parquet instead (no sf1 testdata exists)
+    "sf1": SynthConfig(n_convs=12000, pool_size=600, mean_turns=12),
 }
 
 

@@ -83,6 +83,16 @@ class ExtractionJobConfig:
     # each lineage row carries the chunk's extraction accuracy (the north
     # star's per-partition "extraction accuracy" metric)
     golden_path: str | None = None
+    # opt-in pre-kernel quality gate (operators/multimodal.with_quality_flag):
+    # drop payloads that decode to nothing usable (no detectable text line,
+    # implausible ink ratio) BEFORE the shuffle and the OCR kernel.  The
+    # gate's decode+projection cost is a small fraction of extraction, so on
+    # dirty corpora this trades a cheap map-only pass for kernel + shuffle
+    # work on the dropped fraction.  Default off: a clean corpus only pays
+    # the extra decode.
+    quality_filter: bool = False
+    quality_min_ink: float = 0.005
+    quality_max_ink: float = 0.5
     # dedup-before-compute: extract each DISTINCT payload once and join the
     # result back to the turns.  Real transcript corpora repeat payloads
     # (retries, quoted/forwarded documents); when the duplication factor is
@@ -234,6 +244,16 @@ def plan_extraction(spark, df, cfg: ExtractionJobConfig, model: CharModel | None
         )
         if wave is not None:
             salted = salted.filter(_wave_of(F.col("chunk"), cfg.num_waves) == wave)
+    if cfg.quality_filter:
+        # gate BELOW the kernel and below the repartition: unusable payloads
+        # never shuffle and never reach the OCR kernel
+        from .operators.multimodal import with_quality_flag
+
+        salted = (
+            with_quality_flag(salted, cfg.quality_min_ink, cfg.quality_max_ink)
+            .filter(F.col("quality_ok"))
+            .drop("quality_ok")
+        )
     if cfg.dedup_payloads:
         # extract once per distinct payload, join results back to the turns.
         # The distinct side repartitions on the payload hash (its own even

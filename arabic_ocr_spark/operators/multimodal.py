@@ -19,7 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["payload_meta", "payload_features", "payload_thumbnail", "PAYLOAD_FEATURE_SCHEMA"]
+__all__ = ["payload_meta", "payload_features", "payload_thumbnail", "with_quality_flag",
+           "PAYLOAD_FEATURE_SCHEMA"]
 
 _HEADER_LEN = 8  # b"GRY1" + u16le height + u16le width
 
@@ -113,6 +114,49 @@ def payload_features(df: DataFrame, min_ink: float = 0.005, max_ink: float = 0.5
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(feats, PAYLOAD_FEATURE_SCHEMA)
+
+
+def with_quality_flag(df: DataFrame, min_ink: float = 0.005, max_ink: float = 0.5) -> DataFrame:
+    """Pass-through form of the payload_features quality gate: every input
+    column is preserved and a `quality_ok` boolean is appended (same
+    predicate as payload_features: decodable payload, >=1 detectable text
+    line, plausible ink ratio).
+
+    This is the shape the EXTRACTION PATH consumes
+    (ExtractionJobConfig.quality_filter -> plan_extraction): the flag is
+    computed map-only on the pre-shuffle rows, the filter drops
+    quality_ok=false payloads BELOW the kernel, so unusable pages never pay
+    the repartition, the sort, or the (much more expensive) OCR kernel —
+    the decode+binarize+projection here is a small fraction of full
+    extraction cost."""
+    import numpy as np
+    import pandas as pd
+
+    from ..kernel.imgops import binarize_inv, horizontal_projection
+    from ..sources.codec import decode_payload
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+    ) + ", quality_ok boolean"
+
+    def flag(batches):
+        for pdf in batches:
+            ok = np.zeros(len(pdf), dtype=bool)
+            for i, t in enumerate(pdf["text"]):
+                img = decode_payload(t)
+                if img is None:
+                    continue
+                binary = binarize_inv(img)
+                ink = float(np.count_nonzero(binary)) / binary.size
+                hp = horizontal_projection(binary)
+                nz = hp > 0
+                starts = np.flatnonzero(nz & ~np.concatenate(([False], nz[:-1])))
+                ok[i] = bool(len(starts) > 0 and min_ink <= ink <= max_ink)
+            pdf = pdf.copy()
+            pdf["quality_ok"] = ok
+            yield pdf
+
+    return df.mapInPandas(flag, out_schema)
 
 
 def payload_thumbnail(df: DataFrame, max_side: int = 32) -> DataFrame:

@@ -61,8 +61,10 @@ def main() -> None:
         "fingerprint",
         "cosine_topk",
         "embedding_dup_pairs",
+        "embedding_neardup_hi",
         "ann_lsh_topk",
         "ann_ivf_topk",
+        "payload_thumbnail",
         "pricing_summary",
         "orders_by_nation",
         "events_hourly",
@@ -82,8 +84,19 @@ def main() -> None:
             extract_sec = dt
         print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
 
-    # ANN quality metric (not a timing): recall@10 vs exact cosine_topk
+    # ANN quality metric + its wall time: recall@10 vs exact cosine_topk
+    t0 = time.perf_counter()
     recall_row = qs["ann_recall"](spark, sf_dir).collect()[0]
+    timings["ann_recall"] = round(time.perf_counter() - t0, 3)
+
+    # high-threshold near-dup pruning evidence: LSH-band candidate volume vs
+    # the n^2/2 pairs the exact path would score
+    import __spark_entry__ as entry_mod
+    from arabic_ocr_spark.operators.similarity import embedding_neardup_candidates
+
+    aug = entry_mod._augmented_embeddings(spark, sf_dir)
+    n_aug = aug.count()
+    neardup_cands = embedding_neardup_candidates(aug).count()
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -97,6 +110,8 @@ def main() -> None:
         "extract_turns_per_sec": round(n_turns / extract_sec, 1) if extract_sec else None,
         "ann_ivf_recall_at_10": recall_row["ivf_recall"],
         "ann_lsh_recall_at_10": recall_row["lsh_recall"],
+        "neardup_hi_candidates": neardup_cands,
+        "neardup_hi_allpairs": n_aug * (n_aug - 1) // 2,
     }
     print(json.dumps(out))
     spark.stop()

@@ -127,3 +127,35 @@ def test_payload_meta_parity_fuzz(spark):
         img = decode_payload(enc)
         want = (img.shape[0], img.shape[1], True) if img is not None else (0, 0, False)
         assert got[i] == want, (i, enc[:24], got[i], want)
+
+
+def test_quality_filter_gates_extraction_path(spark, payload_df):
+    """cfg.quality_filter wires with_quality_flag as the pre-kernel gate:
+    junk payloads (no detectable line / implausible ink) never reach the OCR
+    kernel, good pages extract identically to the ungated plan."""
+    from arabic_ocr_spark.job import ExtractionJobConfig, plan_extraction
+    from arabic_ocr_spark.operators.multimodal import with_quality_flag
+    from arabic_ocr_spark.sources.synth import default_model_path
+
+    df, _ = payload_df
+    df = df.filter("text <> ''")
+    cfg = ExtractionJobConfig(num_chunks=4, model_path=default_model_path())
+
+    # the pass-through flag preserves every input column + appends the flag
+    flagged = with_quality_flag(df)
+    assert flagged.columns == df.columns + ["quality_ok"]
+
+    gated_cfg = ExtractionJobConfig(num_chunks=4, model_path=default_model_path(),
+                                    quality_filter=True)
+    gated = plan_extraction(spark, df, gated_cfg).collect()
+    ungated = plan_extraction(spark, df, cfg).collect()
+
+    ok_keys = {(r["conv_id"], r["turn_idx"]) for r in
+               payload_features(df).filter("quality_ok").collect()}
+    assert {(r["conv_id"], r["turn_idx"]) for r in gated} == ok_keys == {("c0", 0), ("c0", 1)}
+    # surviving rows are byte-identical to the ungated extraction
+    keep = ["conv_id", "turn_idx", "extracted_text", "n_lines", "n_words", "ok"]
+    gated_rows = {tuple(r[c] for c in keep) for r in gated}
+    ungated_rows = {tuple(r[c] for c in keep) for r in ungated
+                    if (r["conv_id"], r["turn_idx"]) in ok_keys}
+    assert gated_rows == ungated_rows

@@ -105,3 +105,34 @@ def test_asof_join_single_shuffle(spark, entry_mod):
     plan = _formatted(spark, q(spark, "/root/testdata/sf0.001"))
     assert _tree_count(plan, "Exchange") == 1
     assert "Window" in plan and "SortMergeJoin" not in plan and "Join" not in plan
+
+
+def test_quality_gate_sits_below_kernel(spark, entry_mod):
+    """With cfg.quality_filter the plan is: scan -> quality flag
+    (MapInPandas) -> Filter(quality_ok) -> Exchange -> Sort -> OCR kernel
+    (MapInPandas).  The gate filter must sit BELOW the kernel so dropped
+    payloads never shuffle or extract; still exactly one Exchange."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from arabic_ocr_spark.job import ExtractionJobConfig, plan_extraction
+    from arabic_ocr_spark.sources.synth import default_model_path
+
+    d = entry_mod.synth_dir_for("/root/testdata/sf0.001")
+    df = spark.read.parquet(os.path.join(d, "transcripts.parquet")).filter(F.col("text") != "")
+    cfg = ExtractionJobConfig(num_chunks=12, model_path=default_model_path(),
+                              quality_filter=True)
+    plan = _formatted(spark, plan_extraction(spark, df, cfg))
+    tree = plan.split("\n\n")[0]
+    maps = [m.start() for m in re.finditer(r"MapInPandas", tree)]
+    assert len(maps) == 2  # quality flag + OCR kernel
+    exchanges = [m.start() for m in re.finditer(r"[+:]- Exchange", tree)]
+    assert len(exchanges) == 1
+    filters = [m.start() for m in re.finditer(r"[+:]- Filter", tree)]
+    # root-first tree: kernel printed first; the gate Filter must appear
+    # between the kernel map and the flag map, i.e. below the kernel and the
+    # exchange, above the flag's MapInPandas
+    gate = [p for p in filters if maps[0] < p < maps[1]]
+    assert gate and all(p > exchanges[0] for p in gate)
+    assert "quality_ok" in plan  # expression details live outside the tree section
