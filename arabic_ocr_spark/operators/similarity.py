@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "ann_recall", "embedding_dup_pairs",
-           "embedding_neardup_candidates", "embedding_neardup_hi"]
+           "embedding_neardup_candidates", "embedding_neardup_hi", "neardup_band_params"]
 
 
 def _cosine(a, b):
@@ -246,6 +246,43 @@ def embedding_neardup_candidates(embeddings: DataFrame, n_bands: int = 16,
     )
 
 
+def neardup_band_params(n_rows: int, threshold: float = 0.95,
+                        recall_target: float = 0.999,
+                        candidates_per_row: float = 8.0) -> tuple[int, int]:
+    """Size (n_bands, rows_per_band) for embedding_neardup_hi from the
+    Charikar collision model, so candidate volume stays O(n) as the corpus
+    grows (the fixed default (16, 12) keeps a constant ~0.5% FRACTION of
+    all pairs — fine at fixture scale, quadratic growth in absolute count).
+
+    Model: a hyperplane bit agrees on a pair at cosine s w.p.
+    p = 1 - acos(s)/pi.
+    - true pairs at `threshold`: miss probability (1 - p^r)^b must be
+      <= 1 - recall_target  ->  b = ceil(ln(1-recall) / ln(1-p^r));
+    - background pairs (cosine ~0, p = 1/2): expected candidates
+      ~ n^2/2 * b * 2^-r, bounded to candidates_per_row * n.
+    Scans r upward and returns the first (b, r) meeting both — more bits
+    per band cut the background exponentially while the recall constraint
+    grows b only polynomially.  At n = 10^9 / threshold 0.95 / recall
+    0.999 this lands near (254, 34): ~8.6k signature bits ~ 1 KB/vector,
+    the honest price of three-nines recall at p ~ 0.9; recall_target 0.99
+    roughly thirds the bands.  All outputs stay deterministic for a fixed
+    seed."""
+    import math
+
+    p = 1 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    b = 1
+    for r in range(4, 62):
+        pr = p ** r
+        if pr >= 1.0:
+            b = 1
+        else:
+            b = max(1, math.ceil(math.log(max(1e-15, 1.0 - recall_target)) / math.log(1.0 - pr)))
+        expected_bg = (n_rows * max(n_rows - 1, 1) / 2.0) * b * 2.0 ** (-r)
+        if expected_bg <= candidates_per_row * n_rows:
+            return b, r
+    return b, 61
+
+
 def embedding_neardup_hi(embeddings: DataFrame, threshold: float = 0.95,
                          n_bands: int = 16, rows_per_band: int = 12,
                          seed: int = 7) -> DataFrame:
@@ -255,7 +292,10 @@ def embedding_neardup_hi(embeddings: DataFrame, threshold: float = 0.95,
 
     This is the production near-dup operator: at thresholds where banding
     prunes (0.9+), candidate volume is far below n^2/2 and the whole job is
-    scan + bucket-join shaped.  For LOW thresholds (< ~0.6) use
+    scan + bucket-join shaped.  The (n_bands, rows_per_band) defaults are
+    sized for fixture-scale corpora; at production row counts pass
+    neardup_band_params(n) so the background candidate rate stays O(n)
+    instead of a fixed fraction of n^2.  For LOW thresholds (< ~0.6) use
     embedding_dup_pairs — there banding cannot prune and the exact blocked
     GEMM is the honest cost floor (see its docstring).  The verify stage
     recomputes cosine with the sequential-fold HOF expression, so emitted

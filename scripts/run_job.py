@@ -40,6 +40,12 @@ def main() -> None:
     ap.add_argument("--golden", default=None, help="golden parquet for per-chunk extraction_acc lineage")
     ap.add_argument("--dedup-payloads", default="false",
                     help="extract once per distinct payload and join back (duplicate-heavy corpora)")
+    ap.add_argument("--roles", default=None,
+                    help="comma-separated role filter (e.g. user,assistant); works on "
+                         "direct, table and staged inputs")
+    ap.add_argument("--quality-filter", default="false",
+                    help="drop payloads that fail the ink/line quality gate BELOW the "
+                         "kernel (dirty corpora skip kernel+shuffle cost on junk)")
     ap.add_argument("--streaming", default="false")
     ap.add_argument("--stage-to", default=None,
                     help="stage the input wave-partitioned at this path first, then run "
@@ -60,6 +66,8 @@ def main() -> None:
         model_path=args.model or default_model_path(),
         golden_path=args.golden,
         dedup_payloads=args.dedup_payloads.lower() == "true",
+        payload_roles=tuple(r for r in (args.roles or "").split(",") if r),
+        quality_filter=args.quality_filter.lower() == "true",
     )
     if args.streaming.lower() == "true":
         if args.input_table or not args.input:

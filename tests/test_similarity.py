@@ -91,3 +91,35 @@ def test_neardup_hi_finds_planted_dups_prunes_decoys(spark, embeddings):
     # low thresholds are the exact operator's job
     with pytest.raises(ValueError, match="high-threshold"):
         embedding_neardup_hi(aug, threshold=0.5)
+
+
+def test_neardup_band_params_model(spark, embeddings):
+    """The (bands, rows) sizing helper: background-candidate budget holds
+    empirically on the planted fixture, recall constraint keeps every
+    planted duplicate, and bits grow with n (the O(n) candidate guarantee
+    at scale)."""
+    import __spark_entry__ as entry
+    from arabic_ocr_spark.operators.similarity import (
+        embedding_neardup_candidates,
+        embedding_neardup_hi,
+        neardup_band_params,
+    )
+
+    # more rows -> more bits per band (background pruned exponentially),
+    # never fewer
+    rs = [neardup_band_params(n)[1] for n in (1_000, 100_000, 10_000_000, 1_000_000_000)]
+    assert rs == sorted(rs) and rs[-1] > rs[0]
+    # tighter recall -> more bands at fixed r regime
+    b_hi, r_hi = neardup_band_params(10_000_000, recall_target=0.999)
+    b_lo, r_lo = neardup_band_params(10_000_000, recall_target=0.99)
+    assert b_hi >= b_lo
+
+    aug = entry._augmented_embeddings(spark, SF)
+    n = aug.count()
+    b, r = neardup_band_params(n)
+    got = embedding_neardup_hi(aug, n_bands=b, rows_per_band=r).collect()
+    assert {(i, i + 1_000_000) for i in range(40)} <= {(x.vec_a, x.vec_b) for x in got}
+    n_cand = embedding_neardup_candidates(aug, n_bands=b, rows_per_band=r).count()
+    # planted structure contributes ~O(n) true collisions; the model bounds
+    # the BACKGROUND at 8/row — allow both
+    assert n_cand <= 16 * n
