@@ -103,7 +103,8 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = 7, num_hashes: int = 8, band_s
 
 def jaccard_verified_pairs(docs: DataFrame, k: int = 7, num_hashes: int = 8,
                            band_size: int = 2, threshold: float = 0.6,
-                           broadcast_shingles: bool = True) -> DataFrame:
+                           broadcast_shingles: bool = True,
+                           candidates: DataFrame | None = None) -> DataFrame:
     """Exact shingle-set Jaccard on the LSH candidates; keeps pairs with
     J >= threshold.  (doc_a, doc_b, jaccard rounded to 4).
 
@@ -111,8 +112,14 @@ def jaccard_verified_pairs(docs: DataFrame, k: int = 7, num_hashes: int = 8,
     join's |pairs| fan-out, so broadcasting it avoids shuffling string
     arrays twice.  At corpus sizes where shingles exceed executor memory,
     pass False to fall back to shuffle joins (pairs are then the small
-    side: candidates should be semi-join-reduced first at 100 TB)."""
-    cands = lsh_candidate_pairs(docs, k, num_hashes, band_size)
+    side: candidates should be semi-join-reduced first at 100 TB).
+
+    candidates: optionally a precomputed/persisted lsh_candidate_pairs
+    result (doc_a, doc_b) — the dedup ladder is a chain (candidates ->
+    verified pairs -> components -> curation) and a pipeline that consumes
+    several stages should materialize each once, not re-derive the prefix
+    per consumer."""
+    cands = candidates if candidates is not None else lsh_candidate_pairs(docs, k, num_hashes, band_size)
     # shingles mapped to 60-bit ints (first 15 hex chars of md5): integer
     # set intersection is ~30% faster than string intersection, and because
     # the DuckDB oracle applies the IDENTICAL mapping, even a hash
@@ -227,13 +234,16 @@ def min_label_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
 
 def dedup_groups(docs: DataFrame, k: int = 7, num_hashes: int = 8,
                  band_size: int = 2, threshold: float = 0.6,
-                 max_iters: int = 20) -> DataFrame:
+                 max_iters: int = 20, pairs: DataFrame | None = None) -> DataFrame:
     """Near-duplicate GROUPS: connected components over the Jaccard-verified
     pair graph; every document gets its component's minimum doc_id as
     group_rep (singletons map to themselves).  See min_label_components for
     the distributed CC scheme; the full corpus joins in exactly once at the
-    end."""
-    pairs = jaccard_verified_pairs(docs, k, num_hashes, band_size, threshold).select("doc_a", "doc_b")
+    end.  `pairs` optionally supplies a precomputed jaccard_verified_pairs
+    result (see its docstring on chain materialization)."""
+    if pairs is None:
+        pairs = jaccard_verified_pairs(docs, k, num_hashes, band_size, threshold)
+    pairs = pairs.select("doc_a", "doc_b")
     labels = min_label_components(pairs, max_iters)
     return (
         docs.select("doc_id")
