@@ -5,10 +5,13 @@ label).
   -> broadcast; the corpus side streams map-only, then one top-k shuffle of
   k rows per query (window rank).  At 100 TB of vectors this is the classic
   "broadcast queries, scan corpus once" pattern.
-- LSH-bucketed ANN: random-hyperplane signatures bucket the corpus; queries
-  probe only their bucket — the scale path trading recall for a ~2^bits
-  scan reduction.  (Signature uses deterministic pseudo-random planes from
-  md5 of coordinate indices, so results are seed-stable.)
+- LSH-bucketed ANN: multi-table random-hyperplane signatures bucket the
+  corpus; a query's candidates are the union of its buckets across tables —
+  the scale path trading recall for a ~2^bits-per-table scan reduction.
+  (Planes are a pure function of a fixed seed — results are run-stable.)
+- high-threshold near-dup join: the same banding primitive as a candidate
+  prefilter in front of an exact verifier (embedding_neardup_hi), with a
+  collision-model parameter helper (neardup_band_params).
 
 All arithmetic is double-precision with explicit rounding so the DuckDB
 oracle matches value-for-value.
@@ -57,23 +60,6 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10) -> DataF
     )
 
 
-def _hyperplane_sign(v, plane_seed: int):
-    """Deterministic pseudo-random Rademacher hyperplane over the FULL
-    vector: the weight for coordinate i is +1/-1 from a bit of
-    xxhash64(seed, i), evaluated JVM-side as a HOF fold (no per-dim plan
-    blowup, works for any dimensionality).  Sign of the weighted sum = one
-    signature bit."""
-    idx = F.sequence(F.lit(0), F.size(v) - 1)
-    w = F.transform(
-        idx,
-        lambda i: F.when(F.pmod(F.xxhash64(F.lit(plane_seed), i), 2) == 1, F.lit(1.0)).otherwise(
-            F.lit(-1.0)
-        ),
-    )
-    acc = F.aggregate(F.zip_with(v, w, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b)
-    return F.when(acc > 0, F.lit(1)).otherwise(F.lit(0))
-
-
 def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.38,
                         block_rows: int = 1024, n_rows: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (vec_a < vec_b, sim_r) with
@@ -100,8 +86,8 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.38,
     Why not LSH here: at cosine ~0.38 the per-hyperplane agreement
     probability is ~0.62, so ANY banding scheme with near-zero miss rate
     generates more candidates than all-pairs — banded LSH only prunes in
-    the high-threshold regime (0.9+), where it should be composed as a
-    prefilter in front of this verifier (see lsh_ann_topk's signatures).
+    the high-threshold regime (0.9+), where embedding_neardup_hi composes
+    it as a prefilter in front of this same verify stage.
     The exact quadratic-FLOPs path is therefore run at GEMM speed, which is
     the honest cost floor for an exact low-threshold similarity join."""
     import pandas as pd
@@ -493,35 +479,39 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     The single-table variant this replaces measured recall@10 = 0.18 on the
     isotropic fixture: one 4-bit bucket keeps only ~(1 - theta/pi)^4 of true
     neighbours.  OR-banding is the standard recall repair — miss probability
-    drops to (1 - p^b)^T, lifting recall to ~0.6-0.8 at these defaults —
-    while the scan shape is unchanged: signatures are JVM-side map-only
-    work, and candidates come from ONE pass over the corpus against the
-    broadcast query signature set (no per-table corpus explode; the OR over
-    table keys is evaluated inside the broadcast join condition).  IVF
-    (ivf_ann_topk, recall ~0.9) remains the data-adaptive default; this is
-    the model-free alternative that needs no training pass."""
+    drops to (1 - p^b)^T, lifting recall to ~0.7 at these defaults — while
+    the scan shape is unchanged: signatures come from the same map-only
+    GEMM primitive the near-dup operator uses (_band_buckets: one Arrow
+    batch -> one matrix multiply, planes a pure seeded function — results
+    stay run-stable), and candidates from ONE pass of the corpus signature
+    rows against the broadcast query signature set (the OR over tables is
+    the (band, key) equi-join).  IVF (ivf_ann_topk, recall ~0.9) remains
+    the data-adaptive default; this is the model-free alternative that
+    needs no training pass."""
     vecs = embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    keys = F.array(*[
-        F.concat_ws("", *[
-            _hyperplane_sign(F.col("v"), t * n_planes + b).cast("string")
-            for b in range(n_planes)
-        ])
-        for t in range(n_tables)
-    ])
-    sigs = vecs.withColumn("keys", keys)
-    queries = sigs.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("q"), F.col("keys").alias("qkeys")
+    # table t = band t of the shared banding primitive (seeded planes)
+    buckets = _band_buckets(vecs, n_tables, n_planes, seed=11)
+    qbuckets = (
+        buckets.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), "band", "key")
     )
-    any_table_match = None
-    for t in range(n_tables):
-        m = F.col("keys")[t] == F.col("qkeys")[t]
-        any_table_match = m if any_table_match is None else (any_table_match | m)
+    cand_ids = (
+        buckets.join(F.broadcast(qbuckets),
+                     ["band", "key"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])  # OR over tables
+    )
+    queries = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    nbrs = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("v"))
     sims = (
-        sigs.join(F.broadcast(queries),
-                  any_table_match & (F.col("vec_id") != F.col("query_id")))
+        cand_ids.join(F.broadcast(queries), "query_id")
+        .join(nbrs, "neighbor_id")
         .select(
             "query_id",
-            F.col("vec_id").alias("neighbor_id"),
+            "neighbor_id",
             F.round(_cosine(F.col("q"), F.col("v")), 4).alias("sim_r"),
         )
     )
