@@ -248,6 +248,9 @@ def _augmented_embeddings(spark: SparkSession, sf_dir: str,
             (F.col("vec_id") + id_off).alias("vec_id"),
             F.transform(
                 "embedding",
+                # two-param HOF lambda ON PURPOSE: i is the 0-based element
+                # index, replayed 1-based by the oracle's generate_series
+                # comprehension (CLAUDE.md oracle-parity invariant)
                 lambda x, i: x * (1 + amp_col * ((i % 7) - 3) / F.lit(30.0)),
             ).alias("embedding"),
         )
@@ -264,6 +267,11 @@ def _q_payload_meta(spark, sf_dir):
     JVM-side (operators/multimodal.py) — the cheap validity sweep.  Output
     numerics cast to long so the schema matches the DuckDB oracle's BIGINTs
     (driver compare is schema-strict)."""
+    # pin the oracle twin to THIS sf_dir: oracle_sql() resolves the synth
+    # transcripts path from this env var (default sf0.01 — the driver's
+    # correctness scale), so a same-process gate at any other scale stays
+    # aligned whichever side runs first
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     d = synth_dir_for(sf_dir)
     df = spark.read.parquet(os.path.join(d, "transcripts.parquet"))
     m = payload_meta(df)

@@ -244,24 +244,34 @@ def plan_extraction(spark, df, cfg: ExtractionJobConfig, model: CharModel | None
         )
         if wave is not None:
             salted = salted.filter(_wave_of(F.col("chunk"), cfg.num_waves) == wave)
+    gate = None
     if cfg.quality_filter:
-        # gate BELOW the kernel and below the repartition: unusable payloads
-        # never shuffle and never reach the OCR kernel
+        # pre-kernel gate (operators/multimodal.with_quality_flag): drops
+        # unusable payloads BELOW the kernel and below the repartition
         from .operators.multimodal import with_quality_flag
 
-        salted = (
-            with_quality_flag(salted, cfg.quality_min_ink, cfg.quality_max_ink)
-            .filter(F.col("quality_ok"))
-            .drop("quality_ok")
-        )
+        def gate(d):
+            return (
+                with_quality_flag(d, cfg.quality_min_ink, cfg.quality_max_ink)
+                .filter(F.col("quality_ok"))
+                .drop("quality_ok")
+            )
+
     if cfg.dedup_payloads:
         # extract once per distinct payload, join results back to the turns.
         # The distinct side repartitions on the payload hash (its own even
         # key space); the join back is a hash join on the same 32-char key.
         hashed = salted.withColumn("_ph", F.md5("text"))
+        distinct = hashed.select("_ph", "text").dropDuplicates(["_ph"])
+        if gate is not None:
+            # gate the DISTINCT payloads, not the occurrences: the decode
+            # runs once per distinct payload (duplication factor d would
+            # otherwise re-pay it d times), and the inner join back below
+            # drops every turn of a gated-out payload — same row set as the
+            # direct path's gate
+            distinct = gate(distinct)
         distinct = (
-            hashed.select("_ph", "text")
-            .dropDuplicates(["_ph"])
+            distinct
             .withColumn("conv_id", F.lit(""))
             .withColumn("turn_idx", F.lit(0))
             .withColumn("chunk", F.pmod(F.xxhash64("_ph"), F.lit(cfg.num_chunks)).cast("int"))
@@ -289,6 +299,8 @@ def plan_extraction(spark, df, cfg: ExtractionJobConfig, model: CharModel | None
                 "n_lines", "n_words", "ok", "err", "proc_us",
             )
         )
+    if gate is not None:
+        salted = gate(salted)
     partitioned = salted.repartition(cfg.num_chunks, F.col("chunk")).sortWithinPartitions(
         "conv_id", "turn_idx"
     )
@@ -383,6 +395,22 @@ def lineage_rows(written, wave: int, golden=None):
     )
 
 
+def _committed_waves(output_dir: str) -> set[int]:
+    """Wave ids whose lineage COMMITTED (the `_SUCCESS` marker of the
+    lineage directory, not its row contents): a wave that legitimately
+    produced zero rows — e.g. every payload dropped by the quality gate —
+    still counts as done, so a resumed run skips it instead of re-scanning
+    and re-gating it forever."""
+    done: set[int] = set()
+    for p in glob.glob(os.path.join(output_dir, "lineage", "wave=*")):
+        if os.path.exists(os.path.join(p, "_SUCCESS")):
+            try:
+                done.add(int(os.path.basename(p).split("=", 1)[1]))
+            except ValueError:
+                pass
+    return done
+
+
 def read_lineage(spark, output_dir: str):
     """All committed lineage rows, or None when no wave has committed."""
     paths = sorted(glob.glob(os.path.join(output_dir, "lineage", "wave=*")))
@@ -469,10 +497,10 @@ def run_extraction(
     model_bc = spark.sparkContext.broadcast(model or CharModel.load(cfg.model_path))
     templates_bc = spark.sparkContext.broadcast(templates or [])
 
-    lineage = read_lineage(spark, output_dir)
-    done_waves: set[int] = set()
-    if lineage is not None:
-        done_waves = {r.wave for r in lineage.select("wave").distinct().collect()}
+    # resume ledger = the lineage directories' commit markers, NOT the
+    # lineage row values: an all-dropped wave commits an empty-but-valid
+    # lineage file and must still be skipped on resume
+    done_waves = _committed_waves(output_dir)
 
     waves_run = 0
     rows_written = 0

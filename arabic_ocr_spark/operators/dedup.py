@@ -118,7 +118,13 @@ def jaccard_verified_pairs(docs: DataFrame, k: int = 7, num_hashes: int = 8,
     result (doc_a, doc_b) — the dedup ladder is a chain (candidates ->
     verified pairs -> components -> curation) and a pipeline that consumes
     several stages should materialize each once, not re-derive the prefix
-    per consumer."""
+    per consumer.
+
+    NB: sizes are captured from a checkpointed first scan of `docs` but the
+    shingle arrays from a live second scan (so only O(corpus) size rows are
+    ever pinned in executor storage) — this assumes `docs` re-evaluates
+    stably (a parquet/Iceberg snapshot, the normal case).  Over a
+    non-deterministic upstream, checkpoint `docs` itself first."""
     cands = candidates if candidates is not None else lsh_candidate_pairs(docs, k, num_hashes, band_size)
     # shingles mapped to 60-bit ints (first 15 hex chars of md5): integer
     # set intersection is ~30% faster than string intersection, and because

@@ -67,6 +67,28 @@ PAYLOAD_FEATURE_SCHEMA = (
 )
 
 
+def _page_ink_stats(img):
+    """(ink_ratio, n_line_starts, nz_rows) for a decoded page — the ONE
+    definition of the ink/line statistics; payload_features and
+    with_quality_flag both derive their quality predicate from it so the
+    extraction-path gate can never desync from the reported features."""
+    import numpy as np
+
+    from ..kernel.imgops import binarize_inv, horizontal_projection
+
+    binary = binarize_inv(img)
+    ink = float(np.count_nonzero(binary)) / binary.size
+    hp = horizontal_projection(binary)
+    nz = hp > 0
+    # nonzero-run starts = rising edges of the projection mask
+    starts = np.flatnonzero(nz & ~np.concatenate(([False], nz[:-1])))
+    return ink, len(starts), int(np.count_nonzero(nz))
+
+
+def _quality_ok(ink: float, n_starts: int, min_ink: float, max_ink: float) -> bool:
+    return bool(n_starts > 0 and min_ink <= ink <= max_ink)
+
+
 def payload_features(df: DataFrame, min_ink: float = 0.005, max_ink: float = 0.5) -> DataFrame:
     """Per-image ink statistics as a quality filter for image-bearing turns.
 
@@ -79,7 +101,6 @@ def payload_features(df: DataFrame, min_ink: float = 0.005, max_ink: float = 0.5
     import numpy as np
     import pandas as pd
 
-    from ..kernel.imgops import binarize_inv, horizontal_projection
     from ..sources.codec import decode_payload
 
     cols = df.select("conv_id", "turn_idx", "text")
@@ -100,17 +121,12 @@ def payload_features(df: DataFrame, min_ink: float = 0.005, max_ink: float = 0.5
                     continue
                 out["height"][i], out["width"][i] = img.shape
                 out["valid"][i] = True
-                binary = binarize_inv(img)
-                ink = float(np.count_nonzero(binary)) / binary.size
+                ink, n_starts, nz_rows = _page_ink_stats(img)
                 out["ink_ratio"][i] = round(ink, 6)
-                hp = horizontal_projection(binary)
-                nz = hp > 0
-                # nonzero-run starts = rising edges of the projection mask
-                starts = np.flatnonzero(nz & ~np.concatenate(([False], nz[:-1])))
-                out["n_lines"][i] = len(starts)
-                if len(starts):
-                    out["mean_line_height"][i] = round(float(np.count_nonzero(nz)) / len(starts), 4)
-                out["quality_ok"][i] = bool(len(starts) > 0 and min_ink <= ink <= max_ink)
+                out["n_lines"][i] = n_starts
+                if n_starts:
+                    out["mean_line_height"][i] = round(nz_rows / n_starts, 4)
+                out["quality_ok"][i] = _quality_ok(ink, n_starts, min_ink, max_ink)
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(feats, PAYLOAD_FEATURE_SCHEMA)
@@ -130,9 +146,7 @@ def with_quality_flag(df: DataFrame, min_ink: float = 0.005, max_ink: float = 0.
     the decode+binarize+projection here is a small fraction of full
     extraction cost."""
     import numpy as np
-    import pandas as pd
 
-    from ..kernel.imgops import binarize_inv, horizontal_projection
     from ..sources.codec import decode_payload
 
     out_schema = ", ".join(
@@ -146,12 +160,8 @@ def with_quality_flag(df: DataFrame, min_ink: float = 0.005, max_ink: float = 0.
                 img = decode_payload(t)
                 if img is None:
                     continue
-                binary = binarize_inv(img)
-                ink = float(np.count_nonzero(binary)) / binary.size
-                hp = horizontal_projection(binary)
-                nz = hp > 0
-                starts = np.flatnonzero(nz & ~np.concatenate(([False], nz[:-1])))
-                ok[i] = bool(len(starts) > 0 and min_ink <= ink <= max_ink)
+                ink, n_starts, _ = _page_ink_stats(img)
+                ok[i] = _quality_ok(ink, n_starts, min_ink, max_ink)
             pdf = pdf.copy()
             pdf["quality_ok"] = ok
             yield pdf

@@ -472,9 +472,9 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     independent `n_planes`-bit signature tables; a corpus vector is a
     candidate for a query if it shares the query's bucket in ANY table
     (OR-banding), then exact cosine ranks the candidates.  Same output shape
-    as cosine_topk (rows-only check: the bucketing is seed-stable via the
-    deterministic xxhash planes, the approximation is measured by
-    ann_recall).
+    as cosine_topk (rows-only check: the bucketing is seed-stable — the
+    Gaussian planes are a pure function of the seed — and the approximation
+    is measured by ann_recall).
 
     The single-table variant this replaces measured recall@10 = 0.18 on the
     isotropic fixture: one 4-bit bucket keeps only ~(1 - theta/pi)^4 of true

@@ -89,6 +89,9 @@ def run_streaming_extraction(
     # broadcast blocks on executors over a long-running stream
     model_bc = spark.sparkContext.broadcast(model)
     templates_bc = spark.sparkContext.broadcast([])
+    # like the broadcasts: resolve the (static) golden table once for the
+    # stream's lifetime, not once per micro-batch
+    golden = spark.read.parquet(cfg.golden_path) if cfg.golden_path else None
     stream = (
         spark.readStream.schema(TRANSCRIPTS_SCHEMA)
         .option("maxFilesPerTrigger", 8)
@@ -107,9 +110,6 @@ def run_streaming_extraction(
         # `wave` carries the micro-batch id, so one consumer reads the batch
         # and streaming lineage tables interchangeably (pre-r3 the streaming
         # schema was a column subset and broke such consumers)
-        golden = (
-            df.sparkSession.read.parquet(cfg.golden_path) if cfg.golden_path else None
-        )
         lin = lineage_rows(written, int(batch_id), golden)
         lin.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(output_dir, "lineage", f"batch={batch_id}")

@@ -91,10 +91,9 @@ def main() -> None:
 
     # high-threshold near-dup pruning evidence: LSH-band candidate volume vs
     # the n^2/2 pairs the exact path would score
-    import __spark_entry__ as entry_mod
     from arabic_ocr_spark.operators.similarity import embedding_neardup_candidates
 
-    aug = entry_mod._augmented_embeddings(spark, sf_dir)
+    aug = entry._augmented_embeddings(spark, sf_dir)
     n_aug = aug.count()
     neardup_cands = embedding_neardup_candidates(aug).count()
 

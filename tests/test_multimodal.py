@@ -159,3 +159,55 @@ def test_quality_filter_gates_extraction_path(spark, payload_df):
     ungated_rows = {tuple(r[c] for c in keep) for r in ungated
                     if (r["conv_id"], r["turn_idx"]) in ok_keys}
     assert gated_rows == ungated_rows
+
+
+def test_quality_gate_composes_with_dedup_payloads(spark, payload_df):
+    """Gate + distinct-payload extraction: the gate runs on the DISTINCT
+    payloads (once per payload, not per occurrence) and the join-back drops
+    every turn of a gated-out payload — same row set as the direct gate."""
+    from pyspark.sql import functions as F
+
+    from arabic_ocr_spark.job import ExtractionJobConfig, plan_extraction
+    from arabic_ocr_spark.sources.synth import default_model_path
+
+    df, _ = payload_df
+    # duplicate the turns so payloads repeat across conversations
+    df = df.filter("text <> ''").unionByName(
+        df.filter("text <> ''").select(
+            F.concat(F.col("conv_id"), F.lit("_dup")).alias("conv_id"), "turn_idx", "text"
+        )
+    )
+    kw = dict(num_chunks=4, model_path=default_model_path(), quality_filter=True)
+    direct = plan_extraction(spark, df, ExtractionJobConfig(**kw)).collect()
+    deduped = plan_extraction(
+        spark, df, ExtractionJobConfig(dedup_payloads=True, **kw)
+    ).collect()
+    keep = ["conv_id", "turn_idx", "extracted_text", "ok"]
+    assert {tuple(r[c] for c in keep) for r in direct} == {
+        tuple(r[c] for c in keep) for r in deduped
+    }
+    assert len(direct) == len(deduped) == 4  # 2 good payloads x 2 conv copies
+
+
+def test_all_dropped_wave_resumes_as_committed(spark, tmp_path):
+    """A wave whose rows are ALL dropped (reachable via the quality gate)
+    commits empty lineage; resume must count it done instead of re-running
+    it forever (the ledger is the _SUCCESS marker, not the row values)."""
+    import numpy as np
+
+    from arabic_ocr_spark.job import ExtractionJobConfig, run_extraction
+    from arabic_ocr_spark.sources.codec import encode_payload
+    from arabic_ocr_spark.sources.synth import default_model_path
+
+    blank = encode_payload(np.zeros((6, 9), dtype=np.uint8))  # valid, no ink
+    rows = [(f"c{i}", t, blank) for i in range(6) for t in range(3)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    src = str(tmp_path / "src.parquet")
+    df.write.parquet(src)
+    out = str(tmp_path / "out")
+    cfg = dict(num_chunks=4, num_waves=2, model_path=default_model_path(),
+               quality_filter=True)
+    s1 = run_extraction(spark, src, out, ExtractionJobConfig(**cfg))
+    assert s1["waves_run"] == 2 and s1["rows_written"] == 0
+    s2 = run_extraction(spark, src, out, ExtractionJobConfig(**cfg))
+    assert s2["waves_run"] == 0 and s2["waves_skipped"] == 2

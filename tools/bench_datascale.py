@@ -76,12 +76,14 @@ def scaled_embeddings(spark, sf_dir: str, scale: int):
             # planted fixture): cosine ~0.99 vs the source vector
             vec = F.transform(
                 "embedding",
+                # two-param HOF lambda on purpose: i = 0-based element index
                 lambda x, i: x * (1 + F.lit(0.5 * j) * ((i % 7) - 3) / F.lit(30.0)),
             )
         else:
             # decorrelated: deterministic per-coordinate sign flips
             vec = F.transform(
                 "embedding",
+                # two-param HOF lambda on purpose: i = 0-based element index
                 lambda x, i: x * (1 - 2 * F.pmod(F.xxhash64(F.lit(j), i), F.lit(2))),
             )
         parts.append(
