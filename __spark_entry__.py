@@ -26,7 +26,12 @@ from arabic_ocr_spark.operators.dedup import (
     lsh_candidate_pairs,
     simhash,
 )
-from arabic_ocr_spark.operators.multimodal import payload_features, payload_meta, payload_thumbnail
+from arabic_ocr_spark.operators.multimodal import (
+    payload_features,
+    payload_ink_stats,
+    payload_meta,
+    payload_thumbnail,
+)
 from arabic_ocr_spark.operators.relational import (
     asof_last_event,
     events_hourly,
@@ -290,6 +295,14 @@ def _q_payload_features(spark, sf_dir):
     return payload_features(df)
 
 
+def _q_payload_ink(spark, sf_dir):
+    """Integer pixel-level ink statistics (operators/multimodal.
+    payload_ink_stats) — DuckDB-oracle hard-checked down to the pixel."""
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir  # align the oracle twin
+    d = synth_dir_for(sf_dir)
+    return payload_ink_stats(spark.read.parquet(os.path.join(d, "transcripts.parquet")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -301,6 +314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["payload_features"] = _q_payload_features
     q["payload_thumbnail"] = lambda s, d: payload_thumbnail(
         s.read.parquet(os.path.join(synth_dir_for(d), "transcripts.parquet")))
+    q["payload_ink"] = _q_payload_ink
     q["ann_lsh_topk"] = lambda s, d: lsh_ann_topk(_t(s, d, "embeddings")).withColumn(
         "rank", F.col("rank").cast("long"))
     q["ann_ivf_topk"] = lambda s, d: ivf_ann_topk(_t(s, d, "embeddings")).withColumn(
@@ -572,6 +586,53 @@ SELECT conv_id, turn_idx,
   CASE WHEN valid THEN wd ELSE 0 END AS width,
   CAST(valid AS BIGINT) AS valid
 FROM ok
+"""
+
+    # payload_ink: pixel-level replay of the ink/line statistics.  The blob
+    # is reduced to a '1'/'0' ink bitmap C-speed (translate maps each hex
+    # nibble char: 0-7 -> '1' ink-high-nibble, 8-F -> '0'; the global
+    # regexp keeps the first char of each non-overlapping pair = the high
+    # nibble, i.e. byte <= 127 exactly like kernel binarize_inv@127);
+    # row flags + rising edges then run over h-length lists only.  All
+    # outputs are exact integers — no float rounding anywhere.
+    sql["payload_ink"] = f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, from_base64(text) AS p FROM read_parquet('{tp}')
+),
+hdr AS (
+  SELECT conv_id, turn_idx, octet_length(p) AS n, hex(p) AS hh FROM raw
+),
+dims AS (
+  SELECT conv_id, turn_idx, n, hh,
+    TRY_CAST(concat('0x', substring(hh, 11, 2), substring(hh, 9, 2)) AS BIGINT) AS h,
+    TRY_CAST(concat('0x', substring(hh, 15, 2), substring(hh, 13, 2)) AS BIGINT) AS w,
+    substring(hh, 1, 8) AS magic
+  FROM hdr
+),
+ok AS (
+  SELECT *, coalesce(n >= 8 AND magic = '47525931' AND h > 0 AND w > 0 AND n = 8 + h * w, FALSE) AS valid
+  FROM dims
+),
+bm AS (
+  SELECT conv_id, turn_idx, valid, h, w,
+    CASE WHEN valid THEN
+      regexp_replace(translate(substring(hh, 17), '0123456789ABCDEF', '1111111100000000'), '(.).', '\\1', 'g')
+    ELSE '' END AS bits
+  FROM ok
+),
+rows_ink AS (
+  SELECT conv_id, turn_idx, valid, h, w, bits,
+    CASE WHEN valid THEN
+      [instr(substring(bits, (r-1)*w + 1, w), '1') > 0 for r in generate_series(1, h)]
+    ELSE [] END AS row_flags
+  FROM bm
+)
+SELECT conv_id, turn_idx,
+  CASE WHEN valid THEN CAST(length(bits) - length(replace(bits, '1', '')) AS BIGINT) ELSE 0 END AS n_ink,
+  CASE WHEN valid THEN h * w ELSE 0 END AS n_pixels,
+  CASE WHEN valid THEN CAST(len(list_filter(generate_series(1, h), r -> row_flags[r] AND (r = 1 OR NOT row_flags[r-1]))) AS BIGINT) ELSE 0 END AS n_lines,
+  CASE WHEN valid THEN CAST(len(list_filter(row_flags, x -> x)) AS BIGINT) ELSE 0 END AS nz_rows
+FROM rows_ink
 """
 
     # high-threshold near-dup: the oracle replays the deterministic planting

@@ -19,8 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["payload_meta", "payload_features", "payload_thumbnail", "with_quality_flag",
-           "PAYLOAD_FEATURE_SCHEMA"]
+__all__ = ["payload_meta", "payload_features", "payload_ink_stats", "payload_thumbnail",
+           "with_quality_flag", "PAYLOAD_FEATURE_SCHEMA"]
 
 _HEADER_LEN = 8  # b"GRY1" + u16le height + u16le width
 
@@ -67,22 +67,28 @@ PAYLOAD_FEATURE_SCHEMA = (
 )
 
 
-def _page_ink_stats(img):
-    """(ink_ratio, n_line_starts, nz_rows) for a decoded page — the ONE
-    definition of the ink/line statistics; payload_features and
-    with_quality_flag both derive their quality predicate from it so the
-    extraction-path gate can never desync from the reported features."""
+def _page_ink_counts(img):
+    """(n_ink, n_pixels, n_line_starts, nz_rows) as exact INTEGERS for a
+    decoded page — the ONE definition of the ink/line statistics;
+    payload_features, with_quality_flag and payload_ink_stats all derive
+    from it so the extraction-path gate can never desync from the reported
+    features."""
     import numpy as np
 
     from ..kernel.imgops import binarize_inv, horizontal_projection
 
     binary = binarize_inv(img)
-    ink = float(np.count_nonzero(binary)) / binary.size
     hp = horizontal_projection(binary)
     nz = hp > 0
     # nonzero-run starts = rising edges of the projection mask
     starts = np.flatnonzero(nz & ~np.concatenate(([False], nz[:-1])))
-    return ink, len(starts), int(np.count_nonzero(nz))
+    return int(np.count_nonzero(binary)), binary.size, len(starts), int(np.count_nonzero(nz))
+
+
+def _page_ink_stats(img):
+    """(ink_ratio, n_line_starts, nz_rows) — ratio view of _page_ink_counts."""
+    n_ink, n_pixels, n_starts, nz_rows = _page_ink_counts(img)
+    return n_ink / n_pixels, n_starts, nz_rows
 
 
 def _quality_ok(ink: float, n_starts: int, min_ink: float, max_ink: float) -> bool:
@@ -130,6 +136,48 @@ def payload_features(df: DataFrame, min_ink: float = 0.005, max_ink: float = 0.5
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(feats, PAYLOAD_FEATURE_SCHEMA)
+
+
+def payload_ink_stats(df: DataFrame) -> DataFrame:
+    """Exact INTEGER pixel statistics per turn: (conv_id, turn_idx, n_ink,
+    n_pixels, n_lines, nz_rows), zeros for invalid payloads.
+
+    The hard-checked face of the payload feature sweep: every output is an
+    exact integer, so a SQL engine can replay the whole computation —
+    base64 decode, binarize@127 (byte <= 127 = ink, kernel/imgops.py
+    binarize_inv), row projection, rising-edge line count — value for value
+    from the same parquet bytes with no float-rounding hazards (the DuckDB
+    oracle in __spark_entry__ does exactly that via a translate/regexp
+    high-nibble bitmap).  payload_features remains the ratio/quality view;
+    both derive from _page_ink_counts."""
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.codec import decode_payload
+
+    cols = df.select("conv_id", "turn_idx", "text")
+
+    def stats(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "conv_id": pdf["conv_id"], "turn_idx": pdf["turn_idx"],
+                "n_ink": np.zeros(n, dtype=np.int64), "n_pixels": np.zeros(n, dtype=np.int64),
+                "n_lines": np.zeros(n, dtype=np.int64), "nz_rows": np.zeros(n, dtype=np.int64),
+            }
+            for i, t in enumerate(pdf["text"]):
+                img = decode_payload(t)
+                if img is None:
+                    continue
+                (out["n_ink"][i], out["n_pixels"][i],
+                 out["n_lines"][i], out["nz_rows"][i]) = _page_ink_counts(img)
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(
+        stats,
+        "conv_id string, turn_idx int, n_ink bigint, n_pixels bigint, "
+        "n_lines bigint, nz_rows bigint",
+    )
 
 
 def with_quality_flag(df: DataFrame, min_ink: float = 0.005, max_ink: float = 0.5) -> DataFrame:

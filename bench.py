@@ -56,6 +56,7 @@ def main() -> None:
         "bpe_tokens",
         "payload_meta",
         "payload_features",
+        "payload_ink",
         "quality",
         "lang_id",
         "fingerprint",

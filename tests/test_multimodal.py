@@ -211,3 +211,23 @@ def test_all_dropped_wave_resumes_as_committed(spark, tmp_path):
     assert s1["waves_run"] == 2 and s1["rows_written"] == 0
     s2 = run_extraction(spark, src, out, ExtractionJobConfig(**cfg))
     assert s2["waves_run"] == 0 and s2["waves_skipped"] == 2
+
+
+def test_payload_ink_stats_pinned_vs_numpy(spark, payload_df):
+    """Integer pixel stats match a direct NumPy computation per payload
+    (the DuckDB oracle replays the same ints from the raw bytes)."""
+    from arabic_ocr_spark.operators.multimodal import payload_ink_stats
+
+    df, rows = payload_df
+    got = {(r["conv_id"], r["turn_idx"]): (r["n_ink"], r["n_pixels"], r["n_lines"], r["nz_rows"])
+           for r in payload_ink_stats(df).collect()}
+    for conv_id, turn_idx, text in rows:
+        img = decode_payload(text)
+        if img is None:
+            assert got[(conv_id, turn_idx)] == (0, 0, 0, 0)
+            continue
+        binary = img <= 127
+        nzr = binary.any(axis=1)
+        starts = int((nzr & ~np.concatenate(([False], nzr[:-1]))).sum())
+        assert got[(conv_id, turn_idx)] == (
+            int(binary.sum()), img.size, starts, int(nzr.sum()))
