@@ -18,7 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["exact_dup_groups", "minhash_signatures", "lsh_candidate_pairs",
-           "jaccard_verified_pairs", "simhash", "min_label_components", "dedup_groups"]
+           "jaccard_verified_pairs", "simhash", "simhash_expr",
+           "min_label_components", "dedup_groups"]
 
 
 def exact_dup_groups(docs: DataFrame) -> DataFrame:
@@ -258,14 +259,11 @@ def dedup_groups(docs: DataFrame, k: int = 7, num_hashes: int = 8,
     )
 
 
-def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
-    """Per-document SimHash over whitespace tokens: bit b of md5(token) votes
-    +1/-1; majority sets the bit.  Returns (doc_id, simhash).
-
-    Bit b lives in hex nibble b//4 (chars 1-based), bit position b%4 within
-    the nibble — an arithmetic-only derivation both Spark and DuckDB
-    evaluate identically."""
-    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+def _simhash_total(toks_col, bits: int):
+    """The SimHash bit-vote sum over a token-array column: bit b of
+    md5(token) votes +1/-1; majority sets the bit.  Bit b lives in hex
+    nibble b//4 (chars 1-based), bit position b%4 within the nibble — an
+    arithmetic-only derivation both Spark and DuckDB evaluate identically."""
     hexd = F.lit("0123456789abcdef")
 
     def bit_vote(b: int):
@@ -273,7 +271,7 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
         nibble_val = lambda h: F.instr(hexd, nibble_char(h)) - 1  # noqa: E731
         bit = lambda h: F.floor(nibble_val(h) / (2 ** (b % 4))) % 2  # noqa: E731
         vote = F.aggregate(
-            F.col("toks"),
+            toks_col,
             F.lit(0).cast("long"),
             lambda acc, t: acc + (bit(F.md5(t)) * 2 - 1),
         )
@@ -282,6 +280,23 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     total = bit_vote(0)
     for b in range(1, bits):
         total = total + bit_vote(b)
+    return total
+
+
+def simhash_expr(text_col, bits: int = 16):
+    """SimHash of a text column as a single JVM expression (long) — usable
+    anywhere a Column is (including unbounded streams: it contains no
+    aggregation or Python).  Empty/whitespace-only text hashes to 0."""
+    toks = F.filter(F.split(F.trim(text_col), r"\s+"), lambda t: t != F.lit(""))
+    return F.when(F.size(toks) > 0, _simhash_total(toks, bits)).otherwise(F.lit(0)).cast("long")
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """Per-document SimHash over whitespace tokens (see _simhash_total).
+    Returns (doc_id, simhash)."""
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
     return docs.select("doc_id", F.col("text"), ).withColumn("toks", toks).select(
-        "doc_id", F.when(F.size("toks") > 0, total).otherwise(F.lit(0)).cast("long").alias("simhash")
+        "doc_id",
+        F.when(F.size("toks") > 0, _simhash_total(F.col("toks"), bits))
+        .otherwise(F.lit(0)).cast("long").alias("simhash"),
     )

@@ -24,7 +24,8 @@ from ..job import ExtractionJobConfig, lineage_rows, plan_extraction
 from ..kernel.classifier import CharModel
 
 __all__ = ["run_streaming_extraction", "streaming_events_hourly", "streaming_conv_progress",
-           "streaming_payload_quality", "streaming_dedup_payloads"]
+           "streaming_payload_quality", "streaming_dedup_payloads",
+           "streaming_neardup_payloads"]
 
 
 def streaming_dedup_payloads(transcripts_stream, watermark: str = "1 hour"):
@@ -50,6 +51,41 @@ def streaming_dedup_payloads(transcripts_stream, watermark: str = "1 hour"):
         .withColumn("_ph", F.md5("text"))
         .dropDuplicatesWithinWatermark(["_ph"])
         .drop("_ph")
+    )
+    blanks = stamped.filter(F.col("text") == "")
+    return payloads.unionByName(blanks)
+
+
+def streaming_neardup_payloads(transcripts_stream, watermark: str = "1 hour",
+                               bits: int = 32):
+    """Streaming NEAR-duplicate payload suppression: drop turns whose text
+    SimHash (a pure JVM expression, operators/dedup.simhash_expr — legal on
+    unbounded streams) collides with one already seen within the watermark
+    horizon.
+
+    Scope: SimHash EQUALITY at 32 bits catches re-sends whose content
+    changed only cosmetically — whitespace/token-order reformats collide by
+    construction (the hash is a token-multiset function), small token edits
+    collide whenever no bit vote changes sign — the regime most stream
+    duplicates live in (retries whose envelope ids/timestamps moved but
+    whose content barely did), while 2^32 buckets keep accidental
+    cross-content collisions negligible at horizon scale (expected
+    ~n^2/2^33 per horizon).  The full banded-Jaccard near-dup ladder stays a batch job;
+    this is its cheap streaming front gate, state bounded exactly like
+    streaming_dedup_payloads (one key per distinct hash in the horizon).
+    Blank turns pass through un-deduped."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import simhash_expr
+
+    stamped = transcripts_stream.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    )
+    payloads = (
+        stamped.filter(F.col("text") != "")
+        .withColumn("_sh", simhash_expr(F.col("text"), bits))
+        .dropDuplicatesWithinWatermark(["_sh"])
+        .drop("_sh")
     )
     blanks = stamped.filter(F.col("text") == "")
     return payloads.unionByName(blanks)

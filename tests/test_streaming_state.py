@@ -131,3 +131,55 @@ def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
     assert texts == ["", "", "PAYLOAD-1", "PAYLOAD-2", "PAYLOAD-3"]
     assert {r["conv_id"] for r in rows if r["text"] == "PAYLOAD-1"} == {"a"}  # first wins
     assert {(r["conv_id"], r["turn_idx"]) for r in rows if r["text"] == ""} == {("a", 2), ("b", 2)}
+
+
+def test_streaming_neardup_payloads_drops_light_edits(spark, tmp_path):
+    """SimHash-keyed streaming near-dup: a lightly-edited re-send (same
+    tokens, one dropped) collides on the 32-bit SimHash and is suppressed
+    across micro-batches; genuinely different payloads and blanks pass."""
+    import pandas as pd
+
+    from arabic_ocr_spark.operators.dedup import simhash_expr
+    from arabic_ocr_spark.streaming.stream_job import (
+        TRANSCRIPTS_SCHEMA,
+        streaming_neardup_payloads,
+    )
+    from pyspark.sql import functions as F
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    # re-send with whitespace reformatted and tokens reordered: the token
+    # multiset is unchanged, so the SimHash is identical by construction —
+    # exactly the near-dup class exact (md5) dedup misses
+    near = "  ".join(reversed(base.split()))
+    other = "one two three four five six seven eight " * 6
+    assert near != base
+    # precondition: the light edit really does collide, the distinct doesn't
+    sh = lambda t: spark.range(1).select(simhash_expr(F.lit(t), 32)).collect()[0][0]  # noqa: E731
+    assert sh(base) == sh(near) and sh(base) != sh(other)
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    mk = lambda rows: (spark.createDataFrame(  # noqa: E731
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]))
+        .selectExpr("conv_id", "CAST(turn_idx AS INT) turn_idx", "role", "text", "tool",
+                    "CAST(ts AS TIMESTAMP) ts"))
+    t0 = pd.Timestamp("2026-01-01 10:00:00")
+    mk([("a", 0, "u", base, "", t0),
+        ("a", 1, "u", "", "", t0 + pd.Timedelta(minutes=1))]) \
+        .coalesce(1).write.parquet(os.path.join(d, "f1"))
+    mk([("b", 0, "u", near, "", t0 + pd.Timedelta(minutes=2)),    # near-dup of batch 1
+        ("b", 1, "u", other, "", t0 + pd.Timedelta(minutes=3))]) \
+        .coalesce(1).write.parquet(os.path.join(d, "f2"))
+
+    stream = (spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(os.path.join(d, "*")))
+    out = str(tmp_path / "out")
+    q = (streaming_neardup_payloads(stream, watermark="2 hours")
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    kept = sorted((r["conv_id"], r["turn_idx"]) for r in rows)
+    # near-dup re-send suppressed; original, the distinct doc and the blank kept
+    assert kept == [("a", 0), ("a", 1), ("b", 1)]
