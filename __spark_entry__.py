@@ -289,10 +289,42 @@ def _q_payload_meta(spark, sf_dir):
 
 
 def _q_payload_features(spark, sf_dir):
-    """Per-image ink statistics (quality filter for image-bearing turns)."""
+    """Per-image ink statistics (quality filter for image-bearing turns).
+    Ints/booleans cast to BIGINT for schema parity with the DuckDB oracle,
+    which replays the full computation from the raw bytes (see the
+    payload_ink oracle for the bitmap trick; the two rounded ratios cannot
+    hit a decimal half exactly — their denominators are pixel/row counts,
+    never powers of ten — so round() agrees across engines)."""
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir  # align the oracle twin
     d = synth_dir_for(sf_dir)
     df = spark.read.parquet(os.path.join(d, "transcripts.parquet"))
-    return payload_features(df)
+    m = payload_features(df)
+    return m.select(
+        "conv_id", "turn_idx",
+        F.col("height").cast("long").alias("height"),
+        F.col("width").cast("long").alias("width"),
+        F.col("valid").cast("long").alias("valid"),
+        "ink_ratio",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "mean_line_height",
+        F.col("quality_ok").cast("long").alias("quality_ok"),
+    )
+
+
+def _q_payload_thumbnail(spark, sf_dir):
+    """Binary->binary payload decimation (multimodal.payload_thumbnail) —
+    oracle-checked: DuckDB re-builds the decimated envelope (header +
+    stride-sampled pixels, re-encoded base64) byte for byte from the raw
+    blob, so even the opaque binary output column is hash-compared."""
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir  # align the oracle twin
+    d = synth_dir_for(sf_dir)
+    m = payload_thumbnail(spark.read.parquet(os.path.join(d, "transcripts.parquet")))
+    return m.select(
+        "conv_id", "turn_idx", "thumb",
+        F.col("height").cast("long").alias("height"),
+        F.col("width").cast("long").alias("width"),
+        F.col("valid").cast("long").alias("valid"),
+    )
 
 
 def _q_payload_ink(spark, sf_dir):
@@ -312,8 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_lineage"] = _q_extract_lineage
     q["payload_meta"] = _q_payload_meta
     q["payload_features"] = _q_payload_features
-    q["payload_thumbnail"] = lambda s, d: payload_thumbnail(
-        s.read.parquet(os.path.join(synth_dir_for(d), "transcripts.parquet")))
+    q["payload_thumbnail"] = _q_payload_thumbnail
     q["payload_ink"] = _q_payload_ink
     q["ann_lsh_topk"] = lambda s, d: lsh_ann_topk(_t(s, d, "embeddings")).withColumn(
         "rank", F.col("rank").cast("long"))
@@ -633,6 +664,113 @@ SELECT conv_id, turn_idx,
   CASE WHEN valid THEN CAST(len(list_filter(generate_series(1, h), r -> row_flags[r] AND (r = 1 OR NOT row_flags[r-1]))) AS BIGINT) ELSE 0 END AS n_lines,
   CASE WHEN valid THEN CAST(len(list_filter(row_flags, x -> x)) AS BIGINT) ELSE 0 END AS nz_rows
 FROM rows_ink
+"""
+
+    # payload_features: the ratio/quality view over the same bitmap replay
+    # as payload_ink.  ink_ratio/mean_line_height use round() — safe across
+    # engines because the exact ratios (pixel and row counts in the
+    # denominator) can never land on a decimal half.  quality_ok compares
+    # the UNROUNDED double ratio like the Python kernel.
+    sql["payload_features"] = f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, from_base64(text) AS p FROM read_parquet('{tp}')
+),
+hdr AS (
+  SELECT conv_id, turn_idx, octet_length(p) AS n, hex(p) AS hh FROM raw
+),
+dims AS (
+  SELECT conv_id, turn_idx, n, hh,
+    TRY_CAST(concat('0x', substring(hh, 11, 2), substring(hh, 9, 2)) AS BIGINT) AS h,
+    TRY_CAST(concat('0x', substring(hh, 15, 2), substring(hh, 13, 2)) AS BIGINT) AS w,
+    substring(hh, 1, 8) AS magic
+  FROM hdr
+),
+ok AS (
+  SELECT *, coalesce(n >= 8 AND magic = '47525931' AND h > 0 AND w > 0 AND n = 8 + h * w, FALSE) AS valid
+  FROM dims
+),
+bm AS (
+  SELECT conv_id, turn_idx, valid, h, w,
+    CASE WHEN valid THEN
+      regexp_replace(translate(substring(hh, 17), '0123456789ABCDEF', '1111111100000000'), '(.).', '\\1', 'g')
+    ELSE '' END AS bits
+  FROM ok
+),
+rows_ink AS (
+  SELECT conv_id, turn_idx, valid, h, w, bits,
+    CASE WHEN valid THEN
+      [instr(substring(bits, (r-1)*w + 1, w), '1') > 0 for r in generate_series(1, h)]
+    ELSE [] END AS row_flags
+  FROM bm
+),
+agg AS (
+  SELECT conv_id, turn_idx, valid, h, w,
+    length(bits) - length(replace(bits, '1', '')) AS n_ink,
+    len(list_filter(generate_series(1, h), r -> row_flags[r] AND (r = 1 OR NOT row_flags[r-1]))) AS n_starts,
+    len(list_filter(row_flags, x -> x)) AS nz_rows
+  FROM rows_ink
+)
+SELECT conv_id, turn_idx,
+  CAST(CASE WHEN valid THEN h ELSE 0 END AS BIGINT) AS height,
+  CAST(CASE WHEN valid THEN w ELSE 0 END AS BIGINT) AS width,
+  CAST(valid AS BIGINT) AS valid,
+  CASE WHEN valid THEN round(CAST(n_ink AS DOUBLE) / (h * w), 6) ELSE 0.0 END AS ink_ratio,
+  CAST(CASE WHEN valid THEN n_starts ELSE 0 END AS BIGINT) AS n_lines,
+  CASE WHEN valid AND n_starts > 0 THEN round(CAST(nz_rows AS DOUBLE) / n_starts, 4) ELSE 0.0 END AS mean_line_height,
+  CAST(CASE WHEN valid AND n_starts > 0
+        AND CAST(n_ink AS DOUBLE) / (h * w) >= 0.005
+        AND CAST(n_ink AS DOUBLE) / (h * w) <= 0.5
+       THEN 1 ELSE 0 END AS BIGINT) AS quality_ok
+FROM agg
+"""
+
+    # payload_thumbnail: DuckDB re-BUILDS the decimated envelope — stride
+    # from the ceil-division the operator uses, stride-sampled pixel hex
+    # pairs re-assembled, u16le dims re-packed, unhex + base64 — so the
+    # opaque binary output column itself is value-compared byte for byte.
+    sql["payload_thumbnail"] = f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, from_base64(text) AS p FROM read_parquet('{tp}')
+),
+hdr AS (
+  SELECT conv_id, turn_idx, octet_length(p) AS n, hex(p) AS hh FROM raw
+),
+dims AS (
+  SELECT conv_id, turn_idx, n, hh,
+    TRY_CAST(concat('0x', substring(hh, 11, 2), substring(hh, 9, 2)) AS BIGINT) AS h,
+    TRY_CAST(concat('0x', substring(hh, 15, 2), substring(hh, 13, 2)) AS BIGINT) AS w,
+    substring(hh, 1, 8) AS magic
+  FROM hdr
+),
+ok AS (
+  SELECT *, coalesce(n >= 8 AND magic = '47525931' AND h > 0 AND w > 0 AND n = 8 + h * w, FALSE) AS valid
+  FROM dims
+),
+st AS (
+  SELECT conv_id, turn_idx, valid, h, w, hh,
+    CASE WHEN valid THEN greatest(1, (greatest(h, w) + 31) // 32) ELSE 1 END AS stride
+  FROM ok
+),
+t AS (
+  SELECT conv_id, turn_idx, valid, stride,
+    CASE WHEN valid THEN (h - 1) // stride + 1 ELSE 0 END AS h2,
+    CASE WHEN valid THEN (w - 1) // stride + 1 ELSE 0 END AS w2,
+    CASE WHEN valid THEN
+      array_to_string([
+        array_to_string([substring(hh, 17 + 2*(r*w + c), 2) for c in generate_series(0, w-1, stride)], '')
+        for r in generate_series(0, h-1, stride)], '')
+    ELSE '' END AS px
+  FROM st
+)
+SELECT conv_id, turn_idx,
+  CASE WHEN valid THEN
+    to_base64(unhex(concat('47525931',
+      lpad(hex(h2 % 256), 2, '0'), lpad(hex(h2 // 256), 2, '0'),
+      lpad(hex(w2 % 256), 2, '0'), lpad(hex(w2 // 256), 2, '0'),
+      px)))
+  ELSE '' END AS thumb,
+  CAST(h2 AS BIGINT) AS height, CAST(w2 AS BIGINT) AS width, CAST(valid AS BIGINT) AS valid
+FROM t
 """
 
     # high-threshold near-dup: the oracle replays the deterministic planting
