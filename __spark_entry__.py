@@ -30,6 +30,7 @@ from arabic_ocr_spark.operators.multimodal import (
     payload_features,
     payload_ink_stats,
     payload_meta,
+    payload_profile,
     payload_thumbnail,
 )
 from arabic_ocr_spark.operators.relational import (
@@ -271,12 +272,12 @@ def _q_payload_meta(spark, sf_dir):
     """Multimodal envelope headers (height, width, valid) decoded entirely
     JVM-side (operators/multimodal.py) — the cheap validity sweep.  Output
     numerics cast to long so the schema matches the DuckDB oracle's BIGINTs
-    (driver compare is schema-strict)."""
-    # pin the oracle twin to THIS sf_dir: oracle_sql() resolves the synth
-    # transcripts path from this env var (default sf0.01 — the driver's
-    # correctness scale), so a same-process gate at any other scale stays
-    # aligned whichever side runs first
-    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+    (driver compare is schema-strict).
+
+    NB: the payload oracles read the synth transcripts by path; at a
+    NON-default sf_dir pass it to oracle_sql(sf_dir=...) explicitly (or set
+    SPARK_GRAFT_ORACLE_SF_DIR) — query builders no longer mutate process
+    globals, so oracle/query alignment is order-independent."""
     d = synth_dir_for(sf_dir)
     df = spark.read.parquet(os.path.join(d, "transcripts.parquet"))
     m = payload_meta(df)
@@ -292,10 +293,10 @@ def _q_payload_features(spark, sf_dir):
     """Per-image ink statistics (quality filter for image-bearing turns).
     Ints/booleans cast to BIGINT for schema parity with the DuckDB oracle,
     which replays the full computation from the raw bytes (see the
-    payload_ink oracle for the bitmap trick; the two rounded ratios cannot
-    hit a decimal half exactly — their denominators are pixel/row counts,
-    never powers of ten — so round() agrees across engines)."""
-    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir  # align the oracle twin
+    payload_ink oracle for the bitmap trick; the two rounded ratios use
+    exact integer half-up on both sides — multimodal.round_ratio — because
+    pixel/row-count denominators CAN produce exact decimal halves, e.g.
+    h*w = 128, where Python round and any SQL round() diverge)."""
     d = synth_dir_for(sf_dir)
     df = spark.read.parquet(os.path.join(d, "transcripts.parquet"))
     m = payload_features(df)
@@ -316,7 +317,6 @@ def _q_payload_thumbnail(spark, sf_dir):
     oracle-checked: DuckDB re-builds the decimated envelope (header +
     stride-sampled pixels, re-encoded base64) byte for byte from the raw
     blob, so even the opaque binary output column is hash-compared."""
-    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir  # align the oracle twin
     d = synth_dir_for(sf_dir)
     m = payload_thumbnail(spark.read.parquet(os.path.join(d, "transcripts.parquet")))
     return m.select(
@@ -330,9 +330,30 @@ def _q_payload_thumbnail(spark, sf_dir):
 def _q_payload_ink(spark, sf_dir):
     """Integer pixel-level ink statistics (operators/multimodal.
     payload_ink_stats) — DuckDB-oracle hard-checked down to the pixel."""
-    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir  # align the oracle twin
     d = synth_dir_for(sf_dir)
     return payload_ink_stats(spark.read.parquet(os.path.join(d, "transcripts.parquet")))
+
+
+def _q_payload_profile(spark, sf_dir):
+    """The FUSED payload sweep (operators/multimodal.payload_profile): one
+    decode pass emitting header dims + exact integer ink stats + rounded
+    ratio/quality view + the decimated thumbnail.  Every column is
+    oracle-checked — the DuckDB twin composes the payload_ink bitmap replay
+    with the thumbnail envelope re-build in a single statement."""
+    d = synth_dir_for(sf_dir)
+    m = payload_profile(spark.read.parquet(os.path.join(d, "transcripts.parquet")))
+    return m.select(
+        "conv_id", "turn_idx",
+        F.col("height").cast("long").alias("height"),
+        F.col("width").cast("long").alias("width"),
+        F.col("valid").cast("long").alias("valid"),
+        "n_ink", "n_pixels", "n_lines", "nz_rows",
+        "ink_ratio", "mean_line_height",
+        F.col("quality_ok").cast("long").alias("quality_ok"),
+        "thumb",
+        F.col("thumb_height").cast("long").alias("thumb_height"),
+        F.col("thumb_width").cast("long").alias("thumb_width"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -346,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["payload_features"] = _q_payload_features
     q["payload_thumbnail"] = _q_payload_thumbnail
     q["payload_ink"] = _q_payload_ink
+    q["payload_profile"] = _q_payload_profile
     q["ann_lsh_topk"] = lambda s, d: lsh_ann_topk(_t(s, d, "embeddings")).withColumn(
         "rank", F.col("rank").cast("long"))
     q["ann_ivf_topk"] = lambda s, d: ivf_ann_topk(_t(s, d, "embeddings")).withColumn(
@@ -464,7 +486,16 @@ FROM s
 """
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
+    """DuckDB twins for every oracle-backed query.
+
+    sf_dir: the testdata scale the PAYLOAD oracles' synth-transcripts path
+    is derived from.  Resolution: explicit argument > SPARK_GRAFT_ORACLE_SF_DIR
+    env var > the driver's correctness scale (sf0.01).  The driver calls
+    this no-arg at sf0.01, so the default aligns; any orchestration at
+    another scale passes it explicitly (tools/check_oracles.py does) —
+    query builders do NOT mutate process globals, so call order between
+    queries() and oracle_sql() never changes the comparison."""
     sql: dict[str, str] = {}
 
     sql["dedup_exact"] = """
@@ -591,7 +622,7 @@ SELECT vec_a, vec_b, sim_r FROM (
     # overrides via env to keep its own sf_dir consistent.  synth_dir_for()
     # builds the fixture if missing, so the oracle is self-sufficient
     # whichever side the driver runs first.
-    meta_sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    meta_sf = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     tp = os.path.join(synth_dir_for(meta_sf), "transcripts.parquet").replace("'", "''")
     sql["payload_meta"] = f"""
 WITH hx AS (
@@ -667,10 +698,14 @@ FROM rows_ink
 """
 
     # payload_features: the ratio/quality view over the same bitmap replay
-    # as payload_ink.  ink_ratio/mean_line_height use round() — safe across
-    # engines because the exact ratios (pixel and row counts in the
-    # denominator) can never land on a decimal half.  quality_ok compares
-    # the UNROUNDED double ratio like the Python kernel.
+    # as payload_ink.  The two rounded ratios are computed as EXACT integer
+    # half-up on the true rational (operators/multimodal.round_ratio) on
+    # BOTH sides: decimal ties are reachable (any denominator dividing
+    # 2*10^k, e.g. h*w = 128 or nz_rows/n_starts = 33/32) and no float
+    # round() replays Python's binary-double rounding across engines, so
+    # the compared value is derived from 64-bit integers only — the final
+    # int/10^k division is IEEE-exact everywhere.  quality_ok compares the
+    # UNROUNDED double ratio like the Python kernel.
     sql["payload_features"] = f"""
 WITH raw AS (
   SELECT conv_id, turn_idx, from_base64(text) AS p FROM read_parquet('{tp}')
@@ -714,9 +749,9 @@ SELECT conv_id, turn_idx,
   CAST(CASE WHEN valid THEN h ELSE 0 END AS BIGINT) AS height,
   CAST(CASE WHEN valid THEN w ELSE 0 END AS BIGINT) AS width,
   CAST(valid AS BIGINT) AS valid,
-  CASE WHEN valid THEN round(CAST(n_ink AS DOUBLE) / (h * w), 6) ELSE 0.0 END AS ink_ratio,
+  CASE WHEN valid THEN CAST((n_ink * 2000000 + h * w) // (2 * h * w) AS DOUBLE) / 1000000 ELSE 0.0 END AS ink_ratio,
   CAST(CASE WHEN valid THEN n_starts ELSE 0 END AS BIGINT) AS n_lines,
-  CASE WHEN valid AND n_starts > 0 THEN round(CAST(nz_rows AS DOUBLE) / n_starts, 4) ELSE 0.0 END AS mean_line_height,
+  CASE WHEN valid AND n_starts > 0 THEN CAST((nz_rows * 20000 + n_starts) // (2 * n_starts) AS DOUBLE) / 10000 ELSE 0.0 END AS mean_line_height,
   CAST(CASE WHEN valid AND n_starts > 0
         AND CAST(n_ink AS DOUBLE) / (h * w) >= 0.005
         AND CAST(n_ink AS DOUBLE) / (h * w) <= 0.5
@@ -771,6 +806,89 @@ SELECT conv_id, turn_idx,
   ELSE '' END AS thumb,
   CAST(h2 AS BIGINT) AS height, CAST(w2 AS BIGINT) AS width, CAST(valid AS BIGINT) AS valid
 FROM t
+"""
+
+    # payload_profile: the fused sweep's oracle composes the payload_ink
+    # bitmap replay (integer stats + half-up ratio arithmetic) with the
+    # thumbnail envelope re-build, joined on the turn key from the shared
+    # header CTEs — every fused column is value-compared in one statement.
+    sql["payload_profile"] = f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, from_base64(text) AS p FROM read_parquet('{tp}')
+),
+hdr AS (
+  SELECT conv_id, turn_idx, octet_length(p) AS n, hex(p) AS hh FROM raw
+),
+dims AS (
+  SELECT conv_id, turn_idx, n, hh,
+    TRY_CAST(concat('0x', substring(hh, 11, 2), substring(hh, 9, 2)) AS BIGINT) AS h,
+    TRY_CAST(concat('0x', substring(hh, 15, 2), substring(hh, 13, 2)) AS BIGINT) AS w,
+    substring(hh, 1, 8) AS magic
+  FROM hdr
+),
+ok AS (
+  SELECT *, coalesce(n >= 8 AND magic = '47525931' AND h > 0 AND w > 0 AND n = 8 + h * w, FALSE) AS valid
+  FROM dims
+),
+bm AS (
+  SELECT conv_id, turn_idx, valid, h, w,
+    CASE WHEN valid THEN
+      regexp_replace(translate(substring(hh, 17), '0123456789ABCDEF', '1111111100000000'), '(.).', '\\1', 'g')
+    ELSE '' END AS bits
+  FROM ok
+),
+rows_ink AS (
+  SELECT conv_id, turn_idx, valid, h, w, bits,
+    CASE WHEN valid THEN
+      [instr(substring(bits, (r-1)*w + 1, w), '1') > 0 for r in generate_series(1, h)]
+    ELSE [] END AS row_flags
+  FROM bm
+),
+agg AS (
+  SELECT conv_id, turn_idx, valid, h, w,
+    length(bits) - length(replace(bits, '1', '')) AS n_ink,
+    len(list_filter(generate_series(1, h), r -> row_flags[r] AND (r = 1 OR NOT row_flags[r-1]))) AS n_starts,
+    len(list_filter(row_flags, x -> x)) AS nz_rows
+  FROM rows_ink
+),
+st AS (
+  SELECT conv_id, turn_idx, valid, h, w, hh,
+    CASE WHEN valid THEN greatest(1, (greatest(h, w) + 31) // 32) ELSE 1 END AS stride
+  FROM ok
+),
+t AS (
+  SELECT conv_id, turn_idx, valid, stride,
+    CASE WHEN valid THEN (h - 1) // stride + 1 ELSE 0 END AS h2,
+    CASE WHEN valid THEN (w - 1) // stride + 1 ELSE 0 END AS w2,
+    CASE WHEN valid THEN
+      array_to_string([
+        array_to_string([substring(hh, 17 + 2*(r*w + c), 2) for c in generate_series(0, w-1, stride)], '')
+        for r in generate_series(0, h-1, stride)], '')
+    ELSE '' END AS px
+  FROM st
+)
+SELECT a.conv_id, a.turn_idx,
+  CAST(CASE WHEN a.valid THEN a.h ELSE 0 END AS BIGINT) AS height,
+  CAST(CASE WHEN a.valid THEN a.w ELSE 0 END AS BIGINT) AS width,
+  CAST(a.valid AS BIGINT) AS valid,
+  CAST(CASE WHEN a.valid THEN a.n_ink ELSE 0 END AS BIGINT) AS n_ink,
+  CAST(CASE WHEN a.valid THEN a.h * a.w ELSE 0 END AS BIGINT) AS n_pixels,
+  CAST(CASE WHEN a.valid THEN a.n_starts ELSE 0 END AS BIGINT) AS n_lines,
+  CAST(CASE WHEN a.valid THEN a.nz_rows ELSE 0 END AS BIGINT) AS nz_rows,
+  CASE WHEN a.valid THEN CAST((a.n_ink * 2000000 + a.h * a.w) // (2 * a.h * a.w) AS DOUBLE) / 1000000 ELSE 0.0 END AS ink_ratio,
+  CASE WHEN a.valid AND a.n_starts > 0 THEN CAST((a.nz_rows * 20000 + a.n_starts) // (2 * a.n_starts) AS DOUBLE) / 10000 ELSE 0.0 END AS mean_line_height,
+  CAST(CASE WHEN a.valid AND a.n_starts > 0
+        AND CAST(a.n_ink AS DOUBLE) / (a.h * a.w) >= 0.005
+        AND CAST(a.n_ink AS DOUBLE) / (a.h * a.w) <= 0.5
+       THEN 1 ELSE 0 END AS BIGINT) AS quality_ok,
+  CASE WHEN t.valid THEN
+    to_base64(unhex(concat('47525931',
+      lpad(hex(t.h2 % 256), 2, '0'), lpad(hex(t.h2 // 256), 2, '0'),
+      lpad(hex(t.w2 % 256), 2, '0'), lpad(hex(t.w2 // 256), 2, '0'),
+      t.px)))
+  ELSE '' END AS thumb,
+  CAST(t.h2 AS BIGINT) AS thumb_height, CAST(t.w2 AS BIGINT) AS thumb_width
+FROM agg a JOIN t ON a.conv_id = t.conv_id AND a.turn_idx = t.turn_idx
 """
 
     # high-threshold near-dup: the oracle replays the deterministic planting

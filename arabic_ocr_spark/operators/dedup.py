@@ -263,24 +263,42 @@ def _simhash_total(toks_col, bits: int):
     """The SimHash bit-vote sum over a token-array column: bit b of
     md5(token) votes +1/-1; majority sets the bit.  Bit b lives in hex
     nibble b//4 (chars 1-based), bit position b%4 within the nibble — an
-    arithmetic-only derivation both Spark and DuckDB evaluate identically."""
+    arithmetic-only derivation both Spark and DuckDB evaluate identically.
+
+    HASH-ONCE shape: each token is md5'd exactly once and its full ±1 vote
+    vector is derived from that single digest, then ONE aggregate pass sums
+    vote vectors element-wise.  The per-bit-aggregate formulation this
+    replaces re-hashed every token inside each of the `bits` separate
+    aggregate lambdas (16-32x the hashing) — codegen's subexpression
+    elimination does not enter lambda bodies, so the digest must be bound to
+    a lambda VARIABLE to be reused: transform over the singleton array
+    [md5(t)] is that let-binding (h is computed once, read `bits` times)."""
     hexd = F.lit("0123456789abcdef")
 
-    def bit_vote(b: int):
-        nibble_char = lambda h: F.substring(h, b // 4 + 1, 1)  # noqa: E731
-        nibble_val = lambda h: F.instr(hexd, nibble_char(h)) - 1  # noqa: E731
-        bit = lambda h: F.floor(nibble_val(h) / (2 ** (b % 4))) % 2  # noqa: E731
-        vote = F.aggregate(
-            toks_col,
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + (bit(F.md5(t)) * 2 - 1),
-        )
-        return F.when(vote > 0, F.lit(2**b)).otherwise(F.lit(0))
+    def bit(h, b: int):
+        nibble_val = F.instr(hexd, F.substring(h, b // 4 + 1, 1)) - 1
+        return F.floor(nibble_val / (2 ** (b % 4))) % 2
 
-    total = bit_vote(0)
-    for b in range(1, bits):
-        total = total + bit_vote(b)
-    return total
+    def votes_of(t):
+        return F.element_at(
+            F.transform(
+                F.array(F.md5(t)),
+                lambda h: F.array(*[bit(h, b) * 2 - 1 for b in range(bits)]),
+            ),
+            1,
+        )
+
+    zeros = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
+    sums = F.aggregate(
+        toks_col, zeros,
+        lambda acc, t: F.zip_with(acc, votes_of(t), lambda a, v: a + v),
+    )
+    weights = F.array(*[F.lit(2**b).cast("long") for b in range(bits)])
+    return F.aggregate(
+        F.zip_with(sums, weights, lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
 
 
 def simhash_expr(text_col, bits: int = 16):

@@ -20,7 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["payload_meta", "payload_features", "payload_ink_stats", "payload_thumbnail",
-           "with_quality_flag", "PAYLOAD_FEATURE_SCHEMA"]
+           "payload_profile", "with_quality_flag", "round_ratio",
+           "PAYLOAD_FEATURE_SCHEMA", "PAYLOAD_PROFILE_SCHEMA"]
 
 _HEADER_LEN = 8  # b"GRY1" + u16le height + u16le width
 
@@ -66,6 +67,13 @@ PAYLOAD_FEATURE_SCHEMA = (
     "ink_ratio double, n_lines int, mean_line_height double, quality_ok boolean"
 )
 
+PAYLOAD_PROFILE_SCHEMA = (
+    "conv_id string, turn_idx int, height int, width int, valid boolean, "
+    "n_ink bigint, n_pixels bigint, n_lines bigint, nz_rows bigint, "
+    "ink_ratio double, mean_line_height double, quality_ok boolean, "
+    "thumb string, thumb_height int, thumb_width int"
+)
+
 
 def _page_ink_counts(img):
     """(n_ink, n_pixels, n_line_starts, nz_rows) as exact INTEGERS for a
@@ -91,8 +99,87 @@ def _page_ink_stats(img):
     return n_ink / n_pixels, n_starts, nz_rows
 
 
+def round_ratio(num: int, den: int, decimals: int) -> float:
+    """round(num/den, decimals) as EXACT decimal half-up on the true
+    rational (integer arithmetic, no float step), for num, den >= 0.
+
+    This is the engine-portable rounding for reported ratio columns: Python
+    round() is correctly-rounded on the BINARY double (so a decimal tie like
+    3627/24960 = 0.1453125, whose double sits a hair above the tie, rounds
+    up, while the binary-exact tie 33/32 = 1.03125 goes to even), and no
+    DuckDB function replays that mix — round() is half-away-from-zero,
+    round_even() ties-to-even on the scaled product.  Exact integer half-up
+    (floor((num*scale*2 + den) / (den*2)) / scale) is instead reproducible
+    verbatim in any engine with 64-bit integers; the final
+    int-to-double division is IEEE-exact on both sides."""
+    scale = 10 ** decimals
+    return (num * scale * 2 + den) // (den * 2) / scale
+
+
 def _quality_ok(ink: float, n_starts: int, min_ink: float, max_ink: float) -> bool:
     return bool(n_starts > 0 and min_ink <= ink <= max_ink)
+
+
+def payload_profile(df: DataFrame, min_ink: float = 0.005, max_ink: float = 0.5,
+                    max_side: int = 32, include_thumb: bool = True) -> DataFrame:
+    """The FUSED payload sweep: ONE decode pass per payload emitting every
+    per-image product — envelope dims/validity, exact integer ink statistics
+    (_page_ink_counts), the rounded ratio/quality view, and (optionally) the
+    decimated thumbnail re-encoded into the envelope.
+
+    This is the production shape: payload bytes are the dominant scan cost
+    at 100 TB, and a pipeline that wants features + ink stats + thumbnails
+    must decode each payload once, not once per consumer (the three
+    single-product operators below are thin projections of this kernel, so
+    a standalone caller still pays only its own columns' compute: the
+    thumbnail encode — the expensive extra — is skipped unless
+    include_thumb).  Invalid payloads get zeros / empty thumb, exactly like
+    the individual operators."""
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.codec import decode_payload, encode_payload
+
+    cols = df.select("conv_id", "turn_idx", "text")
+
+    def profile(batches):
+        for pdf in batches:
+            n = len(pdf)
+            thumbs = [""] * n
+            out = {
+                "conv_id": pdf["conv_id"], "turn_idx": pdf["turn_idx"],
+                "height": np.zeros(n, dtype=np.int32), "width": np.zeros(n, dtype=np.int32),
+                "valid": np.zeros(n, dtype=bool),
+                "n_ink": np.zeros(n, dtype=np.int64), "n_pixels": np.zeros(n, dtype=np.int64),
+                "n_lines": np.zeros(n, dtype=np.int64), "nz_rows": np.zeros(n, dtype=np.int64),
+                "ink_ratio": np.zeros(n), "mean_line_height": np.zeros(n),
+                "quality_ok": np.zeros(n, dtype=bool),
+                "thumb_height": np.zeros(n, dtype=np.int32),
+                "thumb_width": np.zeros(n, dtype=np.int32),
+            }
+            for i, t in enumerate(pdf["text"]):
+                img = decode_payload(t)
+                if img is None:
+                    continue
+                out["height"][i], out["width"][i] = img.shape
+                out["valid"][i] = True
+                n_ink, n_pixels, n_starts, nz_rows = _page_ink_counts(img)
+                out["n_ink"][i], out["n_pixels"][i] = n_ink, n_pixels
+                out["n_lines"][i], out["nz_rows"][i] = n_starts, nz_rows
+                out["ink_ratio"][i] = round_ratio(n_ink, n_pixels, 6)
+                if n_starts:
+                    out["mean_line_height"][i] = round_ratio(nz_rows, n_starts, 4)
+                out["quality_ok"][i] = _quality_ok(n_ink / n_pixels, n_starts, min_ink, max_ink)
+                if include_thumb:
+                    stride = max(1, -(-max(img.shape) // max_side))
+                    thumb = np.ascontiguousarray(img[::stride, ::stride])
+                    thumbs[i] = encode_payload(thumb)
+                    out["thumb_height"][i] = thumb.shape[0]
+                    out["thumb_width"][i] = thumb.shape[1]
+            out["thumb"] = thumbs
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(profile, PAYLOAD_PROFILE_SCHEMA)
 
 
 def payload_features(df: DataFrame, min_ink: float = 0.005, max_ink: float = 0.5) -> DataFrame:
@@ -103,39 +190,18 @@ def payload_features(df: DataFrame, min_ink: float = 0.005, max_ink: float = 0.5
     projection's nonzero runs (the engine's own line segmentation primitive,
     kernel/imgops.py) — a page whose ink ratio is implausible or that has no
     detectable lines is flagged quality_ok=false and can be dropped before
-    the (much more expensive) OCR kernel runs."""
-    import numpy as np
-    import pandas as pd
+    the (much more expensive) OCR kernel runs.
 
-    from ..sources.codec import decode_payload
+    A projection of the fused payload_profile kernel (thumbnail encode
+    skipped), so its standalone cost is unchanged while a multi-product
+    consumer can read the same columns from one decode pass."""
+    from pyspark.sql import functions as F
 
-    cols = df.select("conv_id", "turn_idx", "text")
-
-    def feats(batches):
-        for pdf in batches:
-            n = len(pdf)
-            out = {
-                "conv_id": pdf["conv_id"], "turn_idx": pdf["turn_idx"],
-                "height": np.zeros(n, dtype=np.int32), "width": np.zeros(n, dtype=np.int32),
-                "valid": np.zeros(n, dtype=bool), "ink_ratio": np.zeros(n),
-                "n_lines": np.zeros(n, dtype=np.int32), "mean_line_height": np.zeros(n),
-                "quality_ok": np.zeros(n, dtype=bool),
-            }
-            for i, t in enumerate(pdf["text"]):
-                img = decode_payload(t)
-                if img is None:
-                    continue
-                out["height"][i], out["width"][i] = img.shape
-                out["valid"][i] = True
-                ink, n_starts, nz_rows = _page_ink_stats(img)
-                out["ink_ratio"][i] = round(ink, 6)
-                out["n_lines"][i] = n_starts
-                if n_starts:
-                    out["mean_line_height"][i] = round(nz_rows / n_starts, 4)
-                out["quality_ok"][i] = _quality_ok(ink, n_starts, min_ink, max_ink)
-            yield pd.DataFrame(out)
-
-    return cols.mapInPandas(feats, PAYLOAD_FEATURE_SCHEMA)
+    return payload_profile(df, min_ink, max_ink, include_thumb=False).select(
+        "conv_id", "turn_idx", "height", "width", "valid", "ink_ratio",
+        F.col("n_lines").cast("int").alias("n_lines"),
+        "mean_line_height", "quality_ok",
+    )
 
 
 def payload_ink_stats(df: DataFrame) -> DataFrame:
@@ -148,35 +214,11 @@ def payload_ink_stats(df: DataFrame) -> DataFrame:
     binarize_inv), row projection, rising-edge line count — value for value
     from the same parquet bytes with no float-rounding hazards (the DuckDB
     oracle in __spark_entry__ does exactly that via a translate/regexp
-    high-nibble bitmap).  payload_features remains the ratio/quality view;
-    both derive from _page_ink_counts."""
-    import numpy as np
-    import pandas as pd
-
-    from ..sources.codec import decode_payload
-
-    cols = df.select("conv_id", "turn_idx", "text")
-
-    def stats(batches):
-        for pdf in batches:
-            n = len(pdf)
-            out = {
-                "conv_id": pdf["conv_id"], "turn_idx": pdf["turn_idx"],
-                "n_ink": np.zeros(n, dtype=np.int64), "n_pixels": np.zeros(n, dtype=np.int64),
-                "n_lines": np.zeros(n, dtype=np.int64), "nz_rows": np.zeros(n, dtype=np.int64),
-            }
-            for i, t in enumerate(pdf["text"]):
-                img = decode_payload(t)
-                if img is None:
-                    continue
-                (out["n_ink"][i], out["n_pixels"][i],
-                 out["n_lines"][i], out["nz_rows"][i]) = _page_ink_counts(img)
-            yield pd.DataFrame(out)
-
-    return cols.mapInPandas(
-        stats,
-        "conv_id string, turn_idx int, n_ink bigint, n_pixels bigint, "
-        "n_lines bigint, nz_rows bigint",
+    high-nibble bitmap).  A projection of the fused payload_profile kernel
+    (thumbnail encode skipped); payload_features is the ratio/quality view
+    over the same counts."""
+    return payload_profile(df, include_thumb=False).select(
+        "conv_id", "turn_idx", "n_ink", "n_pixels", "n_lines", "nz_rows"
     )
 
 
@@ -223,32 +265,16 @@ def payload_thumbnail(df: DataFrame, max_side: int = 32) -> DataFrame:
     the same envelope.  The resize/frame-sample shape of a multimodal
     pipeline: opaque payload in, opaque payload out, metadata alongside —
     heavier codecs (PNG/JPEG/audio) would slot into the identical batch
-    path.  Invalid payloads pass through as empty strings."""
-    import numpy as np
-    import pandas as pd
+    path.  Invalid payloads pass through as empty strings.
 
-    from ..sources.codec import decode_payload, encode_payload
+    A projection of the fused payload_profile kernel: the added ink-stat
+    columns it doesn't project cost one vectorized binarize+projection per
+    page, a small fraction of the decode+encode this operator pays anyway."""
+    from pyspark.sql import functions as F
 
-    cols = df.select("conv_id", "turn_idx", "text")
-
-    def thumbs(batches):
-        for pdf in batches:
-            out_text, hs, ws, valid = [], [], [], []
-            for t in pdf["text"]:
-                img = decode_payload(t)
-                if img is None:
-                    out_text.append(""); hs.append(0); ws.append(0); valid.append(False)
-                    continue
-                stride = max(1, -(-max(img.shape) // max_side))
-                thumb = np.ascontiguousarray(img[::stride, ::stride])
-                out_text.append(encode_payload(thumb))
-                hs.append(int(thumb.shape[0])); ws.append(int(thumb.shape[1]))
-                valid.append(True)
-            yield pd.DataFrame({
-                "conv_id": pdf["conv_id"], "turn_idx": pdf["turn_idx"],
-                "thumb": out_text, "height": hs, "width": ws, "valid": valid,
-            })
-
-    return cols.mapInPandas(
-        thumbs, "conv_id string, turn_idx int, thumb string, height int, width int, valid boolean"
+    return payload_profile(df, max_side=max_side, include_thumb=True).select(
+        "conv_id", "turn_idx", "thumb",
+        F.col("thumb_height").alias("height"),
+        F.col("thumb_width").alias("width"),
+        "valid",
     )

@@ -66,6 +66,7 @@ def main() -> None:
         "ann_lsh_topk",
         "ann_ivf_topk",
         "payload_thumbnail",
+        "payload_profile",
         "pricing_summary",
         "orders_by_nation",
         "events_hourly",

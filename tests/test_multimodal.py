@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from arabic_ocr_spark.kernel.imgops import binarize_inv, horizontal_projection
-from arabic_ocr_spark.operators.multimodal import payload_features, payload_meta
+from arabic_ocr_spark.operators.multimodal import payload_features, payload_meta, round_ratio
 from arabic_ocr_spark.sources.codec import decode_payload, encode_payload
 from arabic_ocr_spark.sources.glyphs import compose_text_image
 
@@ -57,13 +57,17 @@ def test_payload_features_pinned_vs_serial_kernel(spark, payload_df):
         n_valid += 1
         binary = binarize_inv(img)
         ink = np.count_nonzero(binary) / binary.size
-        assert r["valid"] and r["ink_ratio"] == round(float(ink), 6)
+        # reported ratios use exact integer half-up (round_ratio), not
+        # Python float round — see its docstring on decimal-tie portability
+        assert r["valid"] and r["ink_ratio"] == round_ratio(
+            int(np.count_nonzero(binary)), binary.size, 6)
         hp = horizontal_projection(binary)
         nz = hp > 0
         starts = np.flatnonzero(nz & ~np.concatenate(([False], nz[:-1])))
         assert r["n_lines"] == len(starts)
         if len(starts):
-            assert r["mean_line_height"] == round(float(np.count_nonzero(nz)) / len(starts), 4)
+            assert r["mean_line_height"] == round_ratio(
+                int(np.count_nonzero(nz)), len(starts), 4)
         assert r["quality_ok"] == bool(len(starts) > 0 and 0.005 <= ink <= 0.5)
     assert n_valid == 3
 

@@ -40,9 +40,6 @@ def main() -> int:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
-    # oracles that read the synth transcripts by path (payload_meta) must
-    # point at THIS sf_dir's synth fixture, not the driver default (sf0.01)
-    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     spark = get_spark(master="local[4]", shuffle_partitions=8)
     con = duckdb.connect()
@@ -52,7 +49,9 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs = entry.queries()
-    oracles = entry.oracle_sql()
+    # payload oracles read the synth transcripts by path: pass THIS sf_dir
+    # explicitly so they don't fall back to the driver default (sf0.01)
+    oracles = entry.oracle_sql(sf_dir)
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
