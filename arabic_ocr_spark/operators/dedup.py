@@ -67,10 +67,22 @@ def minhash_signatures(docs: DataFrame, k: int = 7, num_hashes: int = 8) -> Data
     return docs.select("doc_id", _shingles(k).alias("shingles")).select("doc_id", *aggs)
 
 
-def lsh_candidate_pairs(docs: DataFrame, k: int = 7, num_hashes: int = 8, band_size: int = 2) -> DataFrame:
+def lsh_candidate_pairs(docs: DataFrame, k: int = 7, num_hashes: int = 8, band_size: int = 2,
+                        max_bucket_size: int | None = None) -> DataFrame:
     """Near-duplicate candidate pairs (doc_a < doc_b) sharing at least one
     LSH band.  Bands of `band_size` consecutive minhashes; the self-join is
-    on the concatenated band key."""
+    on the concatenated band key.
+
+    max_bucket_size — the HOT-BUCKET guard: a mass-templated cluster of m
+    near-identical documents (which survives exact dedup whenever any byte
+    differs) puts all m in one band bucket and makes the self-join
+    quadratic in m.  With a cap, buckets larger than max_bucket_size
+    contribute only their STAR around the bucket's minimum doc_id — O(m)
+    pairs, filtered on the join's LEFT input so the quadratic intermediate
+    never materializes; the star still connects every member to the anchor,
+    so Jaccard-verify + connected components reunite the cluster (members
+    are near-identical to the anchor by construction of the hot bucket).
+    Default None = exact banded semantics, the oracle-checked path."""
     # materialize the (tiny: doc_id + H hashes) signature table once: the
     # band-key expressions reference every mh column and the posexplode
     # Generate blocks codegen subexpression reuse, so an unmaterialized
@@ -88,7 +100,18 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = 7, num_hashes: int = 8, band_s
         ]
     )
     buckets = sigs.select("doc_id", F.posexplode(band_keys).alias("band", "band_key"))
-    left = buckets.alias("l")
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("band", "band_key").agg(
+            F.count("*").alias("bsz"), F.min("doc_id").alias("anchor")
+        )
+        left = (
+            buckets.join(sizes, ["band", "band_key"])
+            .filter((F.col("bsz") <= max_bucket_size) | (F.col("doc_id") == F.col("anchor")))
+            .select("doc_id", "band", "band_key")
+            .alias("l")
+        )
+    else:
+        left = buckets.alias("l")
     right = buckets.alias("r")
     return (
         left.join(

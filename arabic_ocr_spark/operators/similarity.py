@@ -198,7 +198,8 @@ def _band_buckets(vecs: DataFrame, n_bands: int, rows_per_band: int, seed: int) 
 
 
 def embedding_neardup_candidates(embeddings: DataFrame, n_bands: int = 16,
-                                 rows_per_band: int = 12, seed: int = 7) -> DataFrame:
+                                 rows_per_band: int = 12, seed: int = 7,
+                                 max_bucket_size: int | None = None) -> DataFrame:
     """Candidate near-duplicate pairs (vec_a < vec_b) sharing at least one
     hyperplane-LSH band — the HIGH-threshold prefilter embedding_dup_pairs's
     docstring defers to.
@@ -213,13 +214,41 @@ def embedding_neardup_candidates(embeddings: DataFrame, n_bands: int = 16,
     a pure function of the seed, so recall is a testable constant, not a
     random variable.
 
+    max_bucket_size — the HOT-BUCKET guard: a degenerate band bucket (a
+    mass-templated near-identical cluster of m vectors) otherwise makes the
+    self-join quadratic in m, the one quadratic the collision model cannot
+    bound (it assumes near-orthogonal background).  With a cap, buckets
+    larger than max_bucket_size contribute only their STAR around the
+    bucket's minimum vec_id — O(m) pairs that still connect every member
+    to the anchor, so downstream connected-components grouping reunites
+    the cluster while the intra-cluster pair flood (m^2/2 candidate rows
+    all verifying ~1.0) is skipped.  The filter is applied to the join's
+    LEFT input, so the quadratic intermediate is never materialized.
+    Audit the affected volume with the bucket-size aggregate this computes
+    (one row per (band, key): count + min id).  Default None = exact
+    banded semantics (every co-bucketed pair), the oracle-checked path.
+
     Scale shape: signature pass is map-only (one GEMM per Arrow batch); the
     only shuffles are the self-join on the short (band, key) buckets and the
     final distinct — identical to the MinHash-LSH text ladder, which is the
     point: at 0.95+ this replaces a quadratic GEMM with a bucket join."""
     vecs = embeddings.select("vec_id", _as_double("embedding").alias("v"))
     buckets = _band_buckets(vecs, n_bands, rows_per_band, seed)
-    left, right = buckets.alias("l"), buckets.alias("r")
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("band", "key").agg(
+            F.count("*").alias("bsz"), F.min("vec_id").alias("anchor")
+        )
+        annotated = buckets.join(sizes, ["band", "key"])
+        left = (
+            annotated.filter(
+                (F.col("bsz") <= max_bucket_size) | (F.col("vec_id") == F.col("anchor"))
+            )
+            .select("vec_id", "band", "key")
+            .alias("l")
+        )
+        right = buckets.alias("r")
+    else:
+        left, right = buckets.alias("l"), buckets.alias("r")
     return (
         left.join(
             right,
@@ -270,22 +299,28 @@ def neardup_band_params(n_rows: int, threshold: float = 0.95,
 
 
 def embedding_neardup_hi(embeddings: DataFrame, threshold: float = 0.95,
-                         n_bands: int = 16, rows_per_band: int = 12,
-                         seed: int = 7) -> DataFrame:
+                         n_bands: int | None = None, rows_per_band: int | None = None,
+                         seed: int = 7, n_rows: int | None = None,
+                         max_bucket_size: int | None = None) -> DataFrame:
     """High-threshold embedding near-duplicate pairs: (vec_a < vec_b, sim_r)
     with cosine >= threshold (>= 0.9 regime), as banded-LSH candidates +
     exact HOF-cosine verification.
 
     This is the production near-dup operator: at thresholds where banding
     prunes (0.9+), candidate volume is far below n^2/2 and the whole job is
-    scan + bucket-join shaped.  The (n_bands, rows_per_band) defaults are
-    sized for fixture-scale corpora; at production row counts pass
-    neardup_band_params(n) so the background candidate rate stays O(n)
-    instead of a fixed fraction of n^2.  For LOW thresholds (< ~0.6) use
-    embedding_dup_pairs — there banding cannot prune and the exact blocked
-    GEMM is the honest cost floor (see its docstring).  The verify stage
-    recomputes cosine with the sequential-fold HOF expression, so emitted
-    values are bit-identical to the DuckDB all-pairs oracle."""
+    scan + bucket-join shaped.  (n_bands, rows_per_band) default to the
+    neardup_band_params collision-model sizing for the ACTUAL corpus row
+    count (pass n_rows — a catalog/metadata count — to skip the plan-time
+    count; any approximation of the right magnitude yields the same
+    params), so the background candidate rate stays O(n) at every corpus
+    size instead of a fixed fraction of n^2; pass both explicitly to pin a
+    banding.  max_bucket_size forwards the hot-bucket star guard (see
+    embedding_neardup_candidates) — at production set it to a small
+    multiple of the expected duplicate-cluster size.  For LOW thresholds
+    (< ~0.6) use embedding_dup_pairs — there banding cannot prune and the
+    exact blocked GEMM is the honest cost floor (see its docstring).  The
+    verify stage recomputes cosine with the sequential-fold HOF expression,
+    so emitted values are bit-identical to the DuckDB all-pairs oracle."""
     if threshold < 0.9:
         raise ValueError(
             f"embedding_neardup_hi is the high-threshold (>=0.9) operator; "
@@ -293,7 +328,13 @@ def embedding_neardup_hi(embeddings: DataFrame, threshold: float = 0.95,
             f"embedding_dup_pairs (exact blocked GEMM) instead"
         )
     vecs = embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    cand = embedding_neardup_candidates(embeddings, n_bands, rows_per_band, seed)
+    if n_bands is None or rows_per_band is None:
+        n = n_rows if n_rows is not None else vecs.count()
+        auto_b, auto_r = neardup_band_params(n, threshold)
+        n_bands = auto_b if n_bands is None else n_bands
+        rows_per_band = auto_r if rows_per_band is None else rows_per_band
+    cand = embedding_neardup_candidates(embeddings, n_bands, rows_per_band, seed,
+                                        max_bucket_size)
     va = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     vb = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     return (

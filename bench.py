@@ -92,12 +92,18 @@ def main() -> None:
     timings["ann_recall"] = round(time.perf_counter() - t0, 3)
 
     # high-threshold near-dup pruning evidence: LSH-band candidate volume vs
-    # the n^2/2 pairs the exact path would score
-    from arabic_ocr_spark.operators.similarity import embedding_neardup_candidates
+    # the n^2/2 pairs the exact path would score, at the collision-model
+    # banding auto-sized for this corpus (the same params the driver's
+    # embedding_neardup_hi query now derives)
+    from arabic_ocr_spark.operators.similarity import (
+        embedding_neardup_candidates,
+        neardup_band_params,
+    )
 
     aug = entry._augmented_embeddings(spark, sf_dir)
     n_aug = aug.count()
-    neardup_cands = embedding_neardup_candidates(aug).count()
+    nb, rpb = neardup_band_params(n_aug)
+    neardup_cands = embedding_neardup_candidates(aug, nb, rpb).count()
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -113,6 +119,7 @@ def main() -> None:
         "ann_lsh_recall_at_10": recall_row["lsh_recall"],
         "neardup_hi_candidates": neardup_cands,
         "neardup_hi_allpairs": n_aug * (n_aug - 1) // 2,
+        "neardup_band_params": [nb, rpb],
     }
     print(json.dumps(out))
     spark.stop()

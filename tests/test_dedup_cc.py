@@ -35,3 +35,25 @@ def test_multiple_components_get_their_own_min(spark):
 def test_nonconvergence_raises_not_silent(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         min_label_components(_path_graph(spark, 200), max_iters=2)
+
+
+def test_lsh_hot_bucket_cap_star(spark):
+    """Text-ladder twin of the similarity hot-bucket guard: m identical
+    documents (distinct ids) collapse into one band bucket; the cap reduces
+    the bucket's contribution to the anchor star, keeping candidates O(m)
+    while every member stays connected to the anchor for CC grouping."""
+    from arabic_ocr_spark.operators.dedup import lsh_candidate_pairs
+
+    m, n_bg = 80, 20
+    tmpl = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(j, tmpl) for j in range(m)] + [
+        (1000 + j, f"completely different document number {j} with its own words")
+        for j in range(n_bg)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = lsh_candidate_pairs(docs).count()
+    assert uncapped >= m * (m - 1) // 2
+    capped = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(docs, max_bucket_size=10).collect()}
+    assert {(0, j) for j in range(1, m)} <= capped  # star keeps connectivity
+    assert len(capped) <= 3 * (m + n_bg)  # O(n), not O(m^2)

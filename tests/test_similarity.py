@@ -123,3 +123,59 @@ def test_neardup_band_params_model(spark, embeddings):
     # planted structure contributes ~O(n) true collisions; the model bounds
     # the BACKGROUND at 8/row — allow both
     assert n_cand <= 16 * n
+
+
+def test_hot_bucket_cap_bounds_mass_duplicate_cluster(spark):
+    """The one quadratic left in the ladder: a mass-templated cluster of m
+    near-identical vectors lands in one bucket per band, and the uncapped
+    self-join emits m^2/2 candidates.  With max_bucket_size the hot bucket
+    contributes only its star around the anchor — O(m) candidates — and the
+    verified pairs still connect every member to the anchor, so downstream
+    connected-components grouping reunites the cluster."""
+    from arabic_ocr_spark.operators.similarity import (
+        embedding_neardup_candidates,
+        embedding_neardup_hi,
+    )
+
+    m, dim, n_bg = 120, 16, 40
+    base = [float(((i * 37 + 11) % 19) - 9) or 1.0 for i in range(dim)]
+    rows = [
+        # near-identical: tiny deterministic perturbation, pairwise cosine ~1
+        (j, [base[i] * (1 + 1e-5 * j * ((i % 5) - 2)) for i in range(dim)])
+        for j in range(m)
+    ] + [
+        # decorrelated background
+        (1000 + j, [float((((i * 13 + j * 7 + 3) % 17) - 8) or 1) for i in range(dim)])
+        for j in range(n_bg)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    uncapped = embedding_neardup_candidates(emb, 8, 8).count()
+    assert uncapped >= m * (m - 1) // 2  # the quadratic flood is real
+    capped = embedding_neardup_candidates(emb, 8, 8, max_bucket_size=10).collect()
+    assert len(capped) <= 4 * (m + n_bg)  # O(n), not O(m^2)
+    touched = {r.vec_a for r in capped} | {r.vec_b for r in capped}
+    assert set(range(1, m)) <= touched  # no cluster member dropped
+
+    got = embedding_neardup_hi(emb, n_bands=8, rows_per_band=8, max_bucket_size=10).collect()
+    pairs = {(r.vec_a, r.vec_b) for r in got}
+    assert {(0, j) for j in range(1, m)} <= pairs  # star reunites the cluster
+
+
+def test_neardup_hi_auto_sizes_banding_from_corpus(spark, embeddings):
+    """Defaulted (n_bands, rows_per_band) must come from the collision model
+    for the actual corpus size and still find every planted duplicate (the
+    driver query runs this exact path)."""
+    import __spark_entry__ as entry
+    from arabic_ocr_spark.operators.similarity import (
+        embedding_neardup_hi,
+        neardup_band_params,
+    )
+
+    aug = entry._augmented_embeddings(spark, SF)
+    n = aug.count()
+    auto = embedding_neardup_hi(aug, n_rows=n).collect()
+    explicit_b, explicit_r = neardup_band_params(n)
+    pinned = embedding_neardup_hi(aug, n_bands=explicit_b, rows_per_band=explicit_r).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, pinned))
+    assert {(i, i + 1_000_000) for i in range(40)} <= {(r.vec_a, r.vec_b) for r in auto}

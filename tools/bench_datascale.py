@@ -106,6 +106,7 @@ def main() -> None:
         embedding_neardup_candidates,
         embedding_neardup_hi,
         ivf_ann_topk,
+        neardup_band_params,
     )
     from arabic_ocr_spark.session import get_spark
 
@@ -118,13 +119,18 @@ def main() -> None:
         return docs, emb
 
     def run_suite(docs, emb, n_vecs):
+        # auto-sized banding for THIS corpus size (the collision-model
+        # params the production near-dup path derives): background
+        # candidates/row should stay O(1) as rows grow 10x, where a fixed
+        # banding keeps a constant FRACTION of n^2/2
+        nb, rpb = neardup_band_params(n_vecs)
         queries = {
             "dedup_exact": lambda: exact_dup_groups(docs),
             "minhash_lsh_pairs": lambda: lsh_candidate_pairs(docs),
             "jaccard_pairs": lambda: jaccard_verified_pairs(docs),
             "dedup_groups": lambda: dedup_groups(docs),
-            "embedding_neardup_hi": lambda: embedding_neardup_hi(emb),
-            "neardup_candidates": lambda: embedding_neardup_candidates(emb),
+            "embedding_neardup_hi": lambda: embedding_neardup_hi(emb, n_rows=n_vecs),
+            "neardup_candidates": lambda: embedding_neardup_candidates(emb, nb, rpb),
             "ann_ivf_topk": lambda: ivf_ann_topk(emb),
         }
         out = {}
@@ -135,6 +141,8 @@ def main() -> None:
             out[name] = {"sec": round(dt, 2), "rows": n}
             print(f"#   {name}: {n} rows in {dt:.1f}s", file=sys.stderr)
         out["_n_vectors"] = n_vecs
+        out["_neardup_band_params"] = [nb, rpb]
+        out["_neardup_cands_per_row"] = round(out["neardup_candidates"]["rows"] / n_vecs, 2)
         return out
 
     results = {}
