@@ -95,6 +95,22 @@ def synth_dir_for(sf_dir: str) -> str:
 _EXTRACTION_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _evict_cache(cache: dict, key: tuple[str, str]) -> None:
+    """Bound a per-(session, sf_dir) result cache to ONE live entry: evict
+    entries from other sessions (their persisted blocks died with the
+    stopped session, but the Python references would pin them forever) AND
+    other sf_dirs of the live session (an unbounded per-sf cache would pin
+    every scale's persisted stages for the whole application lifetime),
+    unpersisting whatever is evicted."""
+    for stale in [k for k in cache if k != key]:
+        v = cache.pop(stale)
+        for df in (v.values() if isinstance(v, dict) else [v]):
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped; nothing left to unpersist
+
+
 def _extraction_plan(spark: SparkSession, sf_dir: str, cached: bool = True) -> DataFrame:
     """The extraction result, persisted per (session, sf_dir): several
     driver queries (extract_turns / extract_eval / extract_lineage) consume
@@ -105,13 +121,7 @@ def _extraction_plan(spark: SparkSession, sf_dir: str, cached: bool = True) -> D
     hit = _EXTRACTION_CACHE.get(key)
     if hit is not None and cached:
         return hit
-    # evict entries from other sessions: their persisted blocks die with the
-    # stopped session, but the Python references would pin them forever
-    for stale in [k for k in _EXTRACTION_CACHE if k[0] != key[0]]:
-        try:
-            _EXTRACTION_CACHE.pop(stale).unpersist()
-        except Exception:
-            pass  # session already stopped; nothing left to unpersist
+    _evict_cache(_EXTRACTION_CACHE, key)
     d = synth_dir_for(sf_dir)
     df = spark.read.parquet(os.path.join(d, "transcripts.parquet")).filter(F.col("text") != "")
     # 128 chunks: ~4 task rounds at 32 cores so stragglers average out
@@ -205,12 +215,7 @@ def _dedup_chain(spark: SparkSession, sf_dir: str, stage: str) -> DataFrame:
     anti-pattern the cache removes.  Values are identical either way (the
     oracle gate checks every stage independently)."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    for stale in [k for k in _DEDUP_CACHE if k[0] != key[0]]:
-        for df in _DEDUP_CACHE.pop(stale).values():
-            try:
-                df.unpersist()
-            except Exception:
-                pass  # session already stopped
+    _evict_cache(_DEDUP_CACHE, key)
     cache = _DEDUP_CACHE.setdefault(key, {})
     docs = _t(spark, sf_dir, "documents")
     if stage == "cands":
@@ -228,6 +233,31 @@ def _dedup_chain(spark: SparkSession, sf_dir: str, stage: str) -> DataFrame:
             docs, pairs=_dedup_chain(spark, sf_dir, "pairs")
         ).persist()
     return cache["groups"]
+
+
+_ANN_CACHE: dict[tuple[str, str], dict] = {}
+
+
+def _ann_chain(spark: SparkSession, sf_dir: str, stage: str) -> DataFrame:
+    """The ANN suite shares its materialized stages the way the dedup
+    ladder does: the exact cosine baseline, the IVF top-k and the LSH top-k
+    each persist once per (session, sf_dir); the top-k driver queries and
+    the ann_recall measurement consume the SAME results (pre-r4 ann_recall
+    re-derived the whole suite from scratch, so the bench paid the ANN
+    queries twice).  Values are identical either way — recall is a join
+    over the same outputs."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_cache(_ANN_CACHE, key)
+    cache = _ANN_CACHE.setdefault(key, {})
+    if stage not in cache:
+        emb = _t(spark, sf_dir, "embeddings")
+        if stage == "exact":
+            cache[stage] = cosine_topk(emb).persist()
+        elif stage == "ivf":
+            cache[stage] = ivf_ann_topk(emb).persist()
+        else:
+            cache[stage] = lsh_ann_topk(emb).persist()
+    return cache[stage]
 
 
 def _augmented_embeddings(spark: SparkSession, sf_dir: str,
@@ -368,11 +398,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["payload_thumbnail"] = _q_payload_thumbnail
     q["payload_ink"] = _q_payload_ink
     q["payload_profile"] = _q_payload_profile
-    q["ann_lsh_topk"] = lambda s, d: lsh_ann_topk(_t(s, d, "embeddings")).withColumn(
+    q["ann_lsh_topk"] = lambda s, d: _ann_chain(s, d, "lsh").withColumn(
         "rank", F.col("rank").cast("long"))
-    q["ann_ivf_topk"] = lambda s, d: ivf_ann_topk(_t(s, d, "embeddings")).withColumn(
+    q["ann_ivf_topk"] = lambda s, d: _ann_chain(s, d, "ivf").withColumn(
         "rank", F.col("rank").cast("long"))
-    q["ann_recall"] = lambda s, d: ann_recall(_t(s, d, "embeddings"))
+    q["ann_recall"] = lambda s, d: ann_recall(
+        _t(s, d, "embeddings"),
+        exact=_ann_chain(s, d, "exact"),
+        ivf=_ann_chain(s, d, "ivf"),
+        lsh=_ann_chain(s, d, "lsh"),
+    )
 
     # oracle-backed operators
     q["dedup_exact"] = lambda s, d: exact_dup_groups(_t(s, d, "documents"))
@@ -388,7 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_ok", F.col("quality_ok").cast("long"))
     q["lang_id"] = lambda s, d: lang_id(_t(s, d, "documents"))
     q["fingerprint"] = lambda s, d: fingerprints(_t(s, d, "documents"))
-    q["cosine_topk"] = lambda s, d: cosine_topk(_t(s, d, "embeddings")).withColumn(
+    q["cosine_topk"] = lambda s, d: _ann_chain(s, d, "exact").withColumn(
         "rank", F.col("rank").cast("long"))
     q["embedding_dup_pairs"] = lambda s, d: embedding_dup_pairs(_t(s, d, "embeddings"))
     q["embedding_neardup_hi"] = lambda s, d: embedding_neardup_hi(_augmented_embeddings(s, d))

@@ -479,13 +479,23 @@ def ivf_ann_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def ann_recall(embeddings: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:
+def ann_recall(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
+               exact: DataFrame | None = None, ivf: DataFrame | None = None,
+               lsh: DataFrame | None = None) -> DataFrame:
     """Recall@k of the two ANN operators vs the exact cosine_topk baseline,
     as one row (n_queries, ivf_recall, lsh_recall).  The measurement the
-    approximate operators are graded by."""
+    approximate operators are graded by.
+
+    exact/ivf/lsh optionally supply already-materialized top-k results
+    (cosine_topk / ivf_ann_topk / lsh_ann_topk output shape): a pipeline
+    that just RAN the ANN queries should measure the results it has, not
+    pay the whole suite a second time (the driver's _ann_chain cache does
+    exactly that)."""
     # materialize the exact baseline once; both recall_of joins reuse it
     # instead of recomputing the full exact top-k per measurement
-    exact = cosine_topk(embeddings, n_queries, k).select("query_id", "neighbor_id").localCheckpoint()
+    if exact is None:
+        exact = cosine_topk(embeddings, n_queries, k)
+    exact = exact.select("query_id", "neighbor_id").localCheckpoint()
     # denominator = the baseline's ACTUAL row count: on small corpora (or
     # with ties filtered) the exact top-k yields fewer than n_queries*k
     # neighbours, and a fixed denominator would understate even a perfect
@@ -498,8 +508,10 @@ def ann_recall(embeddings: DataFrame, n_queries: int = 5, k: int = 10) -> DataFr
         return (exact.join(approx.select("query_id", "neighbor_id"),
                            ["query_id", "neighbor_id"]).count()) / n_exact
 
-    ivf = ivf_ann_topk(embeddings, n_queries, k)
-    lsh = lsh_ann_topk(embeddings, n_queries, k)
+    if ivf is None:
+        ivf = ivf_ann_topk(embeddings, n_queries, k)
+    if lsh is None:
+        lsh = lsh_ann_topk(embeddings, n_queries, k)
     spark = embeddings.sparkSession
     return spark.createDataFrame(
         [(n_queries, float(recall_of(ivf)), float(recall_of(lsh)))],
@@ -508,7 +520,7 @@ def ann_recall(embeddings: DataFrame, n_queries: int = 5, k: int = 10) -> DataFr
 
 
 def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
-                 n_planes: int = 4, n_tables: int = 8) -> DataFrame:
+                 n_planes: int = 4, n_tables: int = 16) -> DataFrame:
     """Approximate top-k via MULTI-TABLE hyperplane LSH: `n_tables`
     independent `n_planes`-bit signature tables; a corpus vector is a
     candidate for a query if it shares the query's bucket in ANY table
@@ -520,15 +532,23 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     The single-table variant this replaces measured recall@10 = 0.18 on the
     isotropic fixture: one 4-bit bucket keeps only ~(1 - theta/pi)^4 of true
     neighbours.  OR-banding is the standard recall repair — miss probability
-    drops to (1 - p^b)^T, lifting recall to ~0.7 at these defaults — while
-    the scan shape is unchanged: signatures come from the same map-only
-    GEMM primitive the near-dup operator uses (_band_buckets: one Arrow
-    batch -> one matrix multiply, planes a pure seeded function — results
-    stay run-stable), and candidates from ONE pass of the corpus signature
-    rows against the broadcast query signature set (the OR over tables is
-    the (band, key) equi-join).  IVF (ivf_ann_topk, recall ~0.9) remains
-    the data-adaptive default; this is the model-free alternative that
-    needs no training pass."""
+    drops to (1 - p^b)^T: 8 tables measured 0.72, the 16-table default 0.98
+    (>= the repo's 0.8 ANN gate) — while the scan shape is unchanged:
+    signatures come from the same map-only GEMM primitive the near-dup
+    operator uses (_band_buckets: one Arrow batch -> one matrix multiply,
+    planes a pure seeded function — results stay run-stable), and
+    candidates from ONE pass of the corpus signature rows against the
+    broadcast query signature set (the OR over tables is the (band, key)
+    equi-join).
+
+    Honest pruning note: on THIS fixture true top-10 neighbours sit at
+    cosine ~0.4 (p ~ 0.63/bit), so 0.98 recall costs a candidate fraction
+    of ~1-(1-2^-4)^16 ~ 0.64 of the corpus — weak pruning is inherent to
+    isotropic data, not to the operator (on clustered real corpora p for
+    true neighbours is far higher and the same banding prunes hard).  IVF
+    (ivf_ann_topk, recall ~0.9 at ~25% probe fraction) remains the
+    data-adaptive default; this is the model-free alternative that needs
+    no training pass."""
     vecs = embeddings.select("vec_id", _as_double("embedding").alias("v"))
     # table t = band t of the shared banding primitive (seeded planes)
     buckets = _band_buckets(vecs, n_tables, n_planes, seed=11)

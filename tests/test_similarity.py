@@ -58,9 +58,10 @@ def test_ann_recall_gate(spark, embeddings):
     """The graded ANN metric: IVF recall@10 vs exact cosine_topk >= 0.8."""
     r = ann_recall(embeddings).collect()[0]
     assert r["ivf_recall"] >= 0.8
-    # multi-table OR-banding lifted the LSH variant from 0.18 (single-table,
-    # round 2) to ~0.7 on the same isotropic fixture; gate the repair
-    assert r["lsh_recall"] >= 0.5
+    # OR-banding history on this isotropic fixture: single-table 0.18 (r2),
+    # 8 tables 0.72 (r3), the 16-table default clears the same 0.8 gate as
+    # IVF (measured 0.98 at sf0.1) — gate BOTH operators now
+    assert r["lsh_recall"] >= 0.8
 
 
 def test_neardup_hi_finds_planted_dups_prunes_decoys(spark, embeddings):
