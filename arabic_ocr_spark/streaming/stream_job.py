@@ -113,9 +113,19 @@ def run_streaming_extraction(
     cfg: ExtractionJobConfig | None = None,
     model: CharModel | None = None,
     available_now: bool = True,
+    pre_gate=None,
+    max_files_per_trigger: int = 8,
 ):
     """Start (and, with available_now, drain) the streaming extraction.
-    Returns the StreamingQuery."""
+    Returns the StreamingQuery.
+
+    pre_gate: optional stream-to-stream transform applied to the UNBOUNDED
+    stream before the per-batch extraction plan — the composition point for
+    the stateful front gates (streaming_dedup_payloads /
+    streaming_neardup_payloads), whose cross-batch suppression state must
+    live upstream of foreachBatch.  A gated re-send is dropped before it
+    occupies a kernel slot, the streaming twin of the batch
+    dedup-before-compute option."""
     from pyspark.sql import functions as F
 
     cfg = cfg or ExtractionJobConfig()
@@ -130,9 +140,11 @@ def run_streaming_extraction(
     golden = spark.read.parquet(cfg.golden_path) if cfg.golden_path else None
     stream = (
         spark.readStream.schema(TRANSCRIPTS_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
+    if pre_gate is not None:
+        stream = pre_gate(stream)
 
     def process_batch(batch_df, batch_id: int):
         df = batch_df.filter(F.col("text") != "") if cfg.require_payload else batch_df

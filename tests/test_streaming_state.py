@@ -183,3 +183,58 @@ def test_streaming_neardup_payloads_drops_light_edits(spark, tmp_path):
     kept = sorted((r["conv_id"], r["turn_idx"]) for r in rows)
     # near-dup re-send suppressed; original, the distinct doc and the blank kept
     assert kept == [("a", 0), ("a", 1), ("b", 1)]
+
+
+def test_neardup_gate_composes_with_streaming_extraction(spark, tmp_path):
+    """COMPOSED path: streaming_neardup_payloads as the pre_gate of
+    run_streaming_extraction — a cosmetically-reformatted re-send
+    (whitespace-padded base64: same whitespace-token multiset, so the same
+    SimHash, but a different md5 and an undecodable envelope) is suppressed
+    BEFORE the kernel: it neither occupies a kernel slot nor emits a junk
+    ok=False row, while the original and a distinct document extract
+    exactly once each.  The streaming mirror of the batch
+    dedup-before-compute equivalence test."""
+    import pandas as pd
+
+    from arabic_ocr_spark.job import ExtractionJobConfig
+    from arabic_ocr_spark.sources.codec import encode_payload
+    from arabic_ocr_spark.sources.glyphs import compose_text_image
+    from arabic_ocr_spark.sources.synth import default_model_path
+    from arabic_ocr_spark.streaming.stream_job import (
+        run_streaming_extraction,
+        streaming_neardup_payloads,
+    )
+
+    img1, txt1 = compose_text_image(["abc defg"])
+    img2, txt2 = compose_text_image(["hij Lmn"])
+    p1, p2 = encode_payload(img1), encode_payload(img2)
+    resend = "  " + p1 + " \n"  # cosmetic reformat of the same payload
+    assert resend != p1
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    mk = lambda rows: (spark.createDataFrame(  # noqa: E731
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]))
+        .selectExpr("conv_id", "CAST(turn_idx AS INT) turn_idx", "role", "text", "tool",
+                    "CAST(ts AS TIMESTAMP) ts"))
+    t0 = pd.Timestamp("2026-01-01 10:00:00")
+    mk([("a", 0, "u", p1, "", t0)]).coalesce(1).write.parquet(os.path.join(d, "f1"))
+    mk([("b", 0, "u", resend, "", t0 + pd.Timedelta(minutes=2)),
+        ("b", 1, "u", p2, "", t0 + pd.Timedelta(minutes=3))]) \
+        .coalesce(1).write.parquet(os.path.join(d, "f2"))
+
+    out = str(tmp_path / "out")
+    cfg = ExtractionJobConfig(num_chunks=4, num_waves=1, model_path=default_model_path())
+    # one file per trigger: the original arrives in an EARLIER micro-batch
+    # than its re-send, so the suppression exercised is the cross-batch
+    # state (within one batch the winner would be arbitrary)
+    run_streaming_extraction(
+        spark, os.path.join(d, "*"), out, cfg,
+        pre_gate=lambda s: streaming_neardup_payloads(s, watermark="2 hours"),
+        max_files_per_trigger=1,
+    )
+    result = spark.read.parquet(os.path.join(out, "data")).collect()
+    got = {(r["conv_id"], r["turn_idx"]): r for r in result}
+    assert set(got) == {("a", 0), ("b", 1)}  # the re-send never reached the kernel
+    assert got[("a", 0)]["ok"] and got[("a", 0)]["extracted_text"] == txt1
+    assert got[("b", 1)]["ok"] and got[("b", 1)]["extracted_text"] == txt2
