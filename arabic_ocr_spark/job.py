@@ -76,7 +76,8 @@ class ExtractionJobConfig:
     # classpath, each wave commits via writeTo(table).overwritePartitions()
     # with the wave as a partition column — an atomic snapshot per wave, the
     # exact production analog of the parquet wave-directory commit used in
-    # the sandbox (no Iceberg runtime jar here).
+    # the sandbox (no Iceberg runtime jar here).  Production DDL, catalog
+    # config and the sandbox->catalog artifact mapping: docs/iceberg.md.
     iceberg_table: str | None = None
     iceberg_lineage_table: str | None = None
     # optional golden table (conv_id, turn_idx, expected_text): when set,
