@@ -229,7 +229,9 @@ def min_label_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     )
     changed = -1
     for _ in range(max_iters):
-        # hop: rep <- min(rep, min over neighbours' rep)
+        # hop: rep <- min(rep, min over neighbours' rep); the round carries
+        # the incoming label along as old_rep so convergence is a filter
+        # over the checkpointed result, not an extra join+job per round
         neigh = (
             edges.join(labels.withColumnRenamed("doc_a", "doc_b").withColumnRenamed("rep", "nrep"), "doc_b")
             .groupBy("doc_a")
@@ -237,21 +239,20 @@ def min_label_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         )
         stepped = (
             labels.join(neigh, "doc_a", "left")
-            .select("doc_a", F.least("rep", F.coalesce("min_nrep", "rep")).alias("rep"))
+            .select(
+                "doc_a",
+                F.col("rep").alias("old_rep"),
+                F.least("rep", F.coalesce("min_nrep", "rep")).alias("rep"),
+            )
         )
         # jump: rep <- min(rep, rep(rep)) — pointer doubling
         parents = stepped.select(F.col("doc_a").alias("rep"), F.col("rep").alias("grand"))
         new_labels = (
             stepped.join(parents, "rep", "left")
-            .select("doc_a", F.least("rep", F.coalesce("grand", "rep")).alias("rep"))
+            .select("doc_a", "old_rep", F.least("rep", F.coalesce("grand", "rep")).alias("rep"))
         ).localCheckpoint()
-        changed = (
-            new_labels.withColumnRenamed("rep", "new_rep")
-            .join(labels, "doc_a")
-            .filter(F.col("new_rep") != F.col("rep"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("rep") != F.col("old_rep")).count()
+        labels = new_labels.select("doc_a", "rep")
         if changed == 0:
             break
     if changed != 0:
