@@ -478,6 +478,15 @@ def _sql_minhash_cte(k: int = 7, num_hashes: int = 8) -> str:
     mh_cols = ",\n    ".join(
         f"list_min([md5(s || ':{i}') for s in shingles]) AS mh_{i}" for i in range(num_hashes)
     )
+
+    # band key folded to a 60-bit int EXACTLY like the Spark side
+    # (dedup._text_band_buckets): md5 of the '|'-concatenated band minhashes,
+    # first 15 hex chars as a BIGINT — identical mapping, so even a fold
+    # collision perturbs both engines' candidate sets the same way
+    def fold(b: int) -> str:
+        concat = f"mh_{2 * b} || '|' || mh_{2 * b + 1}"
+        return f"CAST(concat('0x', substring(md5({concat}), 1, 15)) AS BIGINT)"
+
     return f"""
 WITH sh AS (
   SELECT doc_id,
@@ -493,10 +502,10 @@ sig AS (
   FROM sh
 ),
 buckets AS (
-  SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 AS band_key FROM sig
-  UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sig
-  UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sig
-  UNION ALL SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sig
+  SELECT doc_id, 0 AS band, {fold(0)} AS band_key FROM sig
+  UNION ALL SELECT doc_id, 1, {fold(1)} FROM sig
+  UNION ALL SELECT doc_id, 2, {fold(2)} FROM sig
+  UNION ALL SELECT doc_id, 3, {fold(3)} FROM sig
 ),
 cand AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b

@@ -15,11 +15,49 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["exact_dup_groups", "minhash_signatures", "lsh_candidate_pairs",
            "jaccard_verified_pairs", "simhash", "simhash_expr",
-           "min_label_components", "dedup_groups"]
+           "min_label_components", "dedup_groups", "auto_bucket_cap",
+           "bucket_audit", "lsh_bucket_audit"]
+
+
+def auto_bucket_cap(n_rows: int, c: float = 8.0) -> int:
+    """Default hot-bucket cap: ceil(c * sqrt(n)), floor 64.
+
+    Why sqrt(n): a band bucket of size s contributes s*(s-1)/2 candidate
+    pairs, so capping s at c*sqrt(n) bounds ANY single bucket's contribution
+    to <= c^2*n/2 — candidate volume stays O(n) even if a constant number of
+    buckets sit at the cap, which is the structural guarantee the guard
+    exists for.  Natural (non-degenerate) near-dup buckets grow with cluster
+    size, not corpus size, so at the gated fixture scales the cap never
+    binds (sf0.01 max text bucket 12 vs cap 179; sf0.1 max 90 vs cap 566)
+    and the banded semantics stay exactly oracle-checked; only a
+    mass-templated degenerate cluster crosses it."""
+    return max(64, math.ceil(c * math.sqrt(max(n_rows, 1))))
+
+
+def bucket_audit(buckets: DataFrame, cap: int, id_col: str) -> DataFrame:
+    """One-row audit of the hot-bucket guard at `cap` over an
+    (id, band, key) bucket table: bucket count, buckets above the cap, the
+    largest bucket, and an UPPER BOUND on pairs the star guard drops
+    (s*(s-1)/2 - (s-1) per hot bucket — an upper bound because a dropped
+    pair re-surfaces through any other band bucket below the cap where the
+    two ids still collide)."""
+    key_cols = [c for c in buckets.columns if c != id_col]
+    sizes = buckets.groupBy(*key_cols).agg(F.count("*").alias("bsz"))
+    hot = F.col("bsz") > cap
+    dropped = (F.col("bsz") * (F.col("bsz") - 1)) / 2 - (F.col("bsz") - 1)
+    return sizes.agg(
+        F.lit(int(cap)).alias("cap"),
+        F.count("*").alias("n_buckets"),
+        F.coalesce(F.sum(hot.cast("long")), F.lit(0)).cast("long").alias("n_hot_buckets"),
+        F.coalesce(F.max("bsz"), F.lit(0)).cast("long").alias("max_bucket"),
+        F.coalesce(F.sum(F.when(hot, dropped)), F.lit(0.0)).cast("long").alias("dropped_pairs_ubound"),
+    )
 
 
 def exact_dup_groups(docs: DataFrame) -> DataFrame:
@@ -67,22 +105,19 @@ def minhash_signatures(docs: DataFrame, k: int = 7, num_hashes: int = 8) -> Data
     return docs.select("doc_id", _shingles(k).alias("shingles")).select("doc_id", *aggs)
 
 
-def lsh_candidate_pairs(docs: DataFrame, k: int = 7, num_hashes: int = 8, band_size: int = 2,
-                        max_bucket_size: int | None = None) -> DataFrame:
-    """Near-duplicate candidate pairs (doc_a < doc_b) sharing at least one
-    LSH band.  Bands of `band_size` consecutive minhashes; the self-join is
-    on the concatenated band key.
+def _text_band_buckets(docs: DataFrame, k: int, num_hashes: int, band_size: int) -> DataFrame:
+    """(doc_id, band, band_key): the minhash band-bucket table behind
+    lsh_candidate_pairs and lsh_bucket_audit.
 
-    max_bucket_size — the HOT-BUCKET guard: a mass-templated cluster of m
-    near-identical documents (which survives exact dedup whenever any byte
-    differs) puts all m in one band bucket and makes the self-join
-    quadratic in m.  With a cap, buckets larger than max_bucket_size
-    contribute only their STAR around the bucket's minimum doc_id — O(m)
-    pairs, filtered on the join's LEFT input so the quadratic intermediate
-    never materializes; the star still connects every member to the anchor,
-    so Jaccard-verify + connected components reunite the cluster (members
-    are near-identical to the anchor by construction of the hot bucket).
-    Default None = exact banded semantics, the oracle-checked path."""
+    The band key is FOLDED TO AN INT64 before anything shuffles: the
+    concatenated per-band minhash strings (band_size x 32 hex chars) are
+    md5'd and the first 15 hex chars cast to a 60-bit long — ~8x fewer
+    band-join shuffle bytes than shipping the concatenated strings.  The
+    fold is the repo's portable-collision pattern (same as the jaccard
+    shingle ints): the DuckDB oracle applies the IDENTICAL md5+substring
+    mapping, so even a fold collision creates the same spurious candidate
+    on both engines — value parity is exact, not just overwhelmingly
+    probable."""
     # materialize the (tiny: doc_id + H hashes) signature table once: the
     # band-key expressions reference every mh column and the posexplode
     # Generate blocks codegen subexpression reuse, so an unmaterialized
@@ -95,11 +130,49 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = 7, num_hashes: int = 8, band_s
     # per band branch
     band_keys = F.array(
         *[
-            F.concat_ws("|", *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)])
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)])),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
             for b in range(n_bands)
         ]
     )
-    buckets = sigs.select("doc_id", F.posexplode(band_keys).alias("band", "band_key"))
+    return sigs.select("doc_id", F.posexplode(band_keys).alias("band", "band_key"))
+
+
+def lsh_candidate_pairs(docs: DataFrame, k: int = 7, num_hashes: int = 8, band_size: int = 2,
+                        max_bucket_size: int | str | None = "auto",
+                        n_rows: int | None = None) -> DataFrame:
+    """Near-duplicate candidate pairs (doc_a < doc_b) sharing at least one
+    LSH band.  Bands of `band_size` consecutive minhashes; the self-join is
+    on the int64-folded band key (see _text_band_buckets).
+
+    max_bucket_size — the HOT-BUCKET guard: a mass-templated cluster of m
+    near-identical documents (which survives exact dedup whenever any byte
+    differs) puts all m in one band bucket and makes the self-join
+    quadratic in m.  With a cap, buckets larger than max_bucket_size
+    contribute only their STAR around the bucket's minimum doc_id — O(m)
+    pairs, filtered on the join's LEFT input so the quadratic intermediate
+    never materializes.  The default "auto" derives the cap as
+    auto_bucket_cap(n) = ceil(8*sqrt(n)) (pass n_rows — a catalog/metadata
+    count — to skip the plan-time count), which never binds on natural
+    near-dup buckets at the gated scales, so the default path stays exactly
+    oracle-checked; None disables the guard entirely.
+
+    RECALL CAVEAT when the cap binds: a hot bucket only guarantees its
+    members share one minhash band (moderate similarity), NOT that they are
+    near-identical to the anchor — a chain-shaped cluster (a~b~c with
+    anchor!~c above the Jaccard threshold) can lose the b-c pair that the
+    uncapped path plus verify+CC would have kept, unless b and c also
+    co-occur in some below-cap bucket.  Audit bucket composition
+    (lsh_bucket_audit) before relying on a cap in recall-sensitive paths."""
+    buckets = _text_band_buckets(docs, k, num_hashes, band_size)
+    if max_bucket_size == "auto":
+        n = n_rows if n_rows is not None else docs.count()
+        max_bucket_size = auto_bucket_cap(n)
     if max_bucket_size is not None:
         sizes = buckets.groupBy("band", "band_key").agg(
             F.count("*").alias("bsz"), F.min("doc_id").alias("anchor")
@@ -123,6 +196,21 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = 7, num_hashes: int = 8, band_s
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def lsh_bucket_audit(docs: DataFrame, k: int = 7, num_hashes: int = 8, band_size: int = 2,
+                     max_bucket_size: int | str | None = "auto",
+                     n_rows: int | None = None) -> DataFrame:
+    """The hot-bucket audit for lsh_candidate_pairs at the same parameters:
+    one row (cap, n_buckets, n_hot_buckets, max_bucket,
+    dropped_pairs_ubound).  Run it before enabling a cap on a new corpus —
+    and alongside the guarded job in production — so a binding cap is a
+    measured, inspected event rather than silent pair loss."""
+    if max_bucket_size == "auto":
+        n = n_rows if n_rows is not None else docs.count()
+        max_bucket_size = auto_bucket_cap(n)
+    cap = max_bucket_size if max_bucket_size is not None else 2**62
+    return bucket_audit(_text_band_buckets(docs, k, num_hashes, band_size), cap, "doc_id")
 
 
 def jaccard_verified_pairs(docs: DataFrame, k: int = 7, num_hashes: int = 8,

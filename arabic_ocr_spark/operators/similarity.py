@@ -21,8 +21,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "ann_recall", "embedding_dup_pairs",
-           "embedding_neardup_candidates", "embedding_neardup_hi", "neardup_band_params"]
+from arabic_ocr_spark.operators.dedup import auto_bucket_cap, bucket_audit
+
+__all__ = ["cosine_topk", "lsh_ann_topk", "lsh_ann_candidates", "ivf_ann_topk", "ann_recall",
+           "embedding_dup_pairs", "embedding_neardup_candidates", "embedding_neardup_hi",
+           "neardup_band_params", "neardup_bucket_audit"]
 
 
 def _cosine(a, b):
@@ -199,7 +202,8 @@ def _band_buckets(vecs: DataFrame, n_bands: int, rows_per_band: int, seed: int) 
 
 def embedding_neardup_candidates(embeddings: DataFrame, n_bands: int = 16,
                                  rows_per_band: int = 12, seed: int = 7,
-                                 max_bucket_size: int | None = None) -> DataFrame:
+                                 max_bucket_size: int | str | None = "auto",
+                                 n_rows: int | None = None) -> DataFrame:
     """Candidate near-duplicate pairs (vec_a < vec_b) sharing at least one
     hyperplane-LSH band — the HIGH-threshold prefilter embedding_dup_pairs's
     docstring defers to.
@@ -220,13 +224,23 @@ def embedding_neardup_candidates(embeddings: DataFrame, n_bands: int = 16,
     bound (it assumes near-orthogonal background).  With a cap, buckets
     larger than max_bucket_size contribute only their STAR around the
     bucket's minimum vec_id — O(m) pairs that still connect every member
-    to the anchor, so downstream connected-components grouping reunites
-    the cluster while the intra-cluster pair flood (m^2/2 candidate rows
-    all verifying ~1.0) is skipped.  The filter is applied to the join's
-    LEFT input, so the quadratic intermediate is never materialized.
-    Audit the affected volume with the bucket-size aggregate this computes
-    (one row per (band, key): count + min id).  Default None = exact
-    banded semantics (every co-bucketed pair), the oracle-checked path.
+    to the anchor for downstream connected-components grouping, while the
+    intra-cluster pair flood (m^2/2 candidate rows all verifying ~1.0) is
+    skipped.  The filter is applied to the join's LEFT input, so the
+    quadratic intermediate is never materialized.  The default "auto"
+    derives the cap as auto_bucket_cap(n) = ceil(8*sqrt(n)) (pass n_rows to
+    skip the plan-time count); at the gated fixture scales natural buckets
+    sit far below it (max 9 vs cap 189+), so the default path keeps exact
+    banded semantics; None disables the guard entirely.
+
+    RECALL CAVEAT when the cap binds: a hot bucket only guarantees its
+    members agree on ONE band's sign bits (moderate similarity), NOT that
+    they are near-identical to the anchor — a chain-shaped cluster (a~b~c
+    with anchor!~c above threshold) can lose the b-c pair the uncapped
+    path plus verify+CC would have kept, unless b and c also co-occur in
+    some below-cap bucket.  Audit bucket composition before relying on a
+    cap in recall-sensitive paths: neardup_bucket_audit reports hot-bucket
+    count and a dropped-pair upper bound at the same parameters.
 
     Scale shape: signature pass is map-only (one GEMM per Arrow batch); the
     only shuffles are the self-join on the short (band, key) buckets and the
@@ -234,6 +248,9 @@ def embedding_neardup_candidates(embeddings: DataFrame, n_bands: int = 16,
     point: at 0.95+ this replaces a quadratic GEMM with a bucket join."""
     vecs = embeddings.select("vec_id", _as_double("embedding").alias("v"))
     buckets = _band_buckets(vecs, n_bands, rows_per_band, seed)
+    if max_bucket_size == "auto":
+        n = n_rows if n_rows is not None else vecs.count()
+        max_bucket_size = auto_bucket_cap(n)
     if max_bucket_size is not None:
         sizes = buckets.groupBy("band", "key").agg(
             F.count("*").alias("bsz"), F.min("vec_id").alias("anchor")
@@ -259,6 +276,23 @@ def embedding_neardup_candidates(embeddings: DataFrame, n_bands: int = 16,
         .select(F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b"))
         .distinct()
     )
+
+
+def neardup_bucket_audit(embeddings: DataFrame, n_bands: int = 16,
+                         rows_per_band: int = 12, seed: int = 7,
+                         max_bucket_size: int | str | None = "auto",
+                         n_rows: int | None = None) -> DataFrame:
+    """The hot-bucket audit for embedding_neardup_candidates at the same
+    parameters: one row (cap, n_buckets, n_hot_buckets, max_bucket,
+    dropped_pairs_ubound).  Run it before enabling a cap on a new corpus —
+    and alongside the guarded job in production — so a binding cap is a
+    measured, inspected event rather than silent pair loss."""
+    vecs = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    if max_bucket_size == "auto":
+        n = n_rows if n_rows is not None else vecs.count()
+        max_bucket_size = auto_bucket_cap(n)
+    cap = max_bucket_size if max_bucket_size is not None else 2**62
+    return bucket_audit(_band_buckets(vecs, n_bands, rows_per_band, seed), cap, "vec_id")
 
 
 def neardup_band_params(n_rows: int, threshold: float = 0.95,
@@ -301,7 +335,7 @@ def neardup_band_params(n_rows: int, threshold: float = 0.95,
 def embedding_neardup_hi(embeddings: DataFrame, threshold: float = 0.95,
                          n_bands: int | None = None, rows_per_band: int | None = None,
                          seed: int = 7, n_rows: int | None = None,
-                         max_bucket_size: int | None = None) -> DataFrame:
+                         max_bucket_size: int | str | None = "auto") -> DataFrame:
     """High-threshold embedding near-duplicate pairs: (vec_a < vec_b, sim_r)
     with cosine >= threshold (>= 0.9 regime), as banded-LSH candidates +
     exact HOF-cosine verification.
@@ -314,9 +348,11 @@ def embedding_neardup_hi(embeddings: DataFrame, threshold: float = 0.95,
     count; any approximation of the right magnitude yields the same
     params), so the background candidate rate stays O(n) at every corpus
     size instead of a fixed fraction of n^2; pass both explicitly to pin a
-    banding.  max_bucket_size forwards the hot-bucket star guard (see
-    embedding_neardup_candidates) — at production set it to a small
-    multiple of the expected duplicate-cluster size.  For LOW thresholds
+    banding.  max_bucket_size forwards the hot-bucket star guard, ON by
+    default at the auto cap ceil(8*sqrt(n)) — non-binding on natural
+    buckets, capping only mass-templated degenerate clusters (see
+    embedding_neardup_candidates for the chain-cluster recall caveat when
+    it binds, and neardup_bucket_audit for the audit).  For LOW thresholds
     (< ~0.6) use embedding_dup_pairs — there banding cannot prune and the
     exact blocked GEMM is the honest cost floor (see its docstring).  The
     verify stage recomputes cosine with the sequential-fold HOF expression,
@@ -328,11 +364,16 @@ def embedding_neardup_hi(embeddings: DataFrame, threshold: float = 0.95,
             f"embedding_dup_pairs (exact blocked GEMM) instead"
         )
     vecs = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    # one count serves both auto-derivations (banding AND the bucket cap)
+    n = n_rows
+    if n is None and (n_bands is None or rows_per_band is None or max_bucket_size == "auto"):
+        n = vecs.count()
     if n_bands is None or rows_per_band is None:
-        n = n_rows if n_rows is not None else vecs.count()
         auto_b, auto_r = neardup_band_params(n, threshold)
         n_bands = auto_b if n_bands is None else n_bands
         rows_per_band = auto_r if rows_per_band is None else rows_per_band
+    if max_bucket_size == "auto":
+        max_bucket_size = auto_bucket_cap(n)
     cand = embedding_neardup_candidates(embeddings, n_bands, rows_per_band, seed,
                                         max_bucket_size)
     va = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
@@ -434,17 +475,20 @@ def ivf_ann_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     vecs = embeddings.select("vec_id", _as_double("embedding").alias("v"))
     cent = _train_ivf_centroids(vecs, n_centroids, kmeans_iters)
 
+    # the index and probe tables carry IDS ONLY: shipping the vectors
+    # through the cell join (duplicated n_assign x / nprobe x) would shuffle
+    # ~3x the corpus vector bytes at scale; instead the exact-cosine ranking
+    # re-joins vectors by id for just the surviving candidates — the same
+    # shape the near-dup verify stages use
     def index_cells(batches, cent_list=cent, a=n_assign):
         cent_m = np.asarray(cent_list)
         for pdf in batches:
             X = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
             Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
             top = np.argsort(-(Xn @ cent_m.T), kind="stable", axis=1)[:, :a]
-            n = len(pdf)
             yield pd.DataFrame({
                 "vec_id": np.repeat(pdf["vec_id"].to_numpy(), a),
                 "cell": top.reshape(-1),
-                "v": [x for x in pdf["v"] for _ in range(a)],
             })
 
     def probe_cells(batches, cent_list=cent, p=nprobe):
@@ -456,24 +500,31 @@ def ivf_ann_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
             yield pd.DataFrame({
                 "query_id": np.repeat(pdf["vec_id"].to_numpy(), p),
                 "cell": top.reshape(-1),
-                "q": [x for x in pdf["v"] for _ in range(p)],
             })
 
-    indexed = vecs.mapInPandas(index_cells, "vec_id bigint, cell int, v array<double>")
+    indexed = vecs.mapInPandas(index_cells, "vec_id bigint, cell int")
     probes = (
         vecs.filter(F.col("vec_id") < n_queries)
-        .mapInPandas(probe_cells, "query_id bigint, cell int, q array<double>")
+        .mapInPandas(probe_cells, "query_id bigint, cell int")
     )
-    cands = (
-        indexed.join(F.broadcast(probes),
-                     (indexed["cell"] == probes["cell"]) & (F.col("vec_id") != F.col("query_id")))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "q", "v")
+    cand_ids = (
+        indexed.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])  # multi-assign x multi-probe overlap
     )
-    sims = cands.select(
-        "query_id",
-        "neighbor_id",
-        F.round(_cosine(F.col("q"), F.col("v")), 4).alias("sim_r"),
+    queries = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    nbrs = vecs.select(F.col("vec_id").alias("neighbor_id"), "v")
+    sims = (
+        cand_ids.join(F.broadcast(queries), "query_id")
+        .join(nbrs, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("q"), F.col("v")), 4).alias("sim_r"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim_r").desc(), F.col("neighbor_id").asc())
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -490,7 +541,10 @@ def ann_recall(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     (cosine_topk / ivf_ann_topk / lsh_ann_topk output shape): a pipeline
     that just RAN the ANN queries should measure the results it has, not
     pay the whole suite a second time (the driver's _ann_chain cache does
-    exactly that)."""
+    exactly that).  The reported n_queries is derived from the exact
+    frame's ACTUAL distinct query set — a caller handing in frames built
+    with different parameters gets a correctly-labeled measurement, not
+    the parameter echoed back."""
     # materialize the exact baseline once; both recall_of joins reuse it
     # instead of recomputing the full exact top-k per measurement
     if exact is None:
@@ -501,6 +555,7 @@ def ann_recall(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     # neighbours, and a fixed denominator would understate even a perfect
     # approximate result
     n_exact = exact.count()
+    n_queries = exact.select("query_id").distinct().count()
 
     def recall_of(approx: DataFrame):
         if n_exact == 0:
@@ -516,6 +571,35 @@ def ann_recall(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     return spark.createDataFrame(
         [(n_queries, float(recall_of(ivf)), float(recall_of(lsh)))],
         "n_queries int, ivf_recall double, lsh_recall double",
+    )
+
+
+def lsh_ann_candidates(embeddings: DataFrame, n_queries: int = 5,
+                       n_planes: int = 4, n_tables: int = 16,
+                       seed: int = 11) -> DataFrame:
+    """(query_id, neighbor_id): the candidate-generation stage of
+    lsh_ann_topk — corpus vectors sharing the query's (band, key) bucket in
+    ANY of the `n_tables` signature tables (OR-banding), deduplicated.
+
+    DETERMINISTIC for a fixed (seed, corpus): the Gaussian planes are a
+    pure function of the seed and bucketing is sign-of-projection, so this
+    stage is DuckDB-oracle-checked — the oracle replays the identical
+    float64 planes as SQL literals and the identical sign rule over the
+    same parquet floats (see __spark_entry__._sql_lsh_ann_candidates).
+    Only the top-k RANKING built on these candidates is approximate and
+    graded by measured recall instead."""
+    vecs = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    # table t = band t of the shared banding primitive (seeded planes)
+    buckets = _band_buckets(vecs, n_tables, n_planes, seed=seed)
+    qbuckets = (
+        buckets.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), "band", "key")
+    )
+    return (
+        buckets.join(F.broadcast(qbuckets), ["band", "key"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])  # OR over tables
     )
 
 
@@ -550,19 +634,7 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     data-adaptive default; this is the model-free alternative that needs
     no training pass."""
     vecs = embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    # table t = band t of the shared banding primitive (seeded planes)
-    buckets = _band_buckets(vecs, n_tables, n_planes, seed=11)
-    qbuckets = (
-        buckets.filter(F.col("vec_id") < n_queries)
-        .select(F.col("vec_id").alias("query_id"), "band", "key")
-    )
-    cand_ids = (
-        buckets.join(F.broadcast(qbuckets),
-                     ["band", "key"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])  # OR over tables
-    )
+    cand_ids = lsh_ann_candidates(embeddings, n_queries, n_planes, n_tables)
     queries = vecs.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("q")
     )

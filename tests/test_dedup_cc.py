@@ -52,8 +52,52 @@ def test_lsh_hot_bucket_cap_star(spark):
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
-    uncapped = lsh_candidate_pairs(docs).count()
+    uncapped = lsh_candidate_pairs(docs, max_bucket_size=None).count()
     assert uncapped >= m * (m - 1) // 2
     capped = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(docs, max_bucket_size=10).collect()}
     assert {(0, j) for j in range(1, m)} <= capped  # star keeps connectivity
     assert len(capped) <= 3 * (m + n_bg)  # O(n), not O(m^2)
+
+
+def test_lsh_auto_guard_binds_only_on_degenerate_buckets(spark):
+    """Default max_bucket_size='auto' (cap = ceil(8*sqrt(n)), floor 64) must
+    cap a mass-templated cluster BY DEFAULT — the production-shaped path no
+    longer runs unguarded — while natural corpora (gated fixtures) sit far
+    below the cap and keep exact banded semantics."""
+    from arabic_ocr_spark.operators.dedup import (
+        auto_bucket_cap,
+        lsh_bucket_audit,
+        lsh_candidate_pairs,
+    )
+
+    m, n_bg = 90, 10  # n=100 -> cap 80 < m: the auto guard binds
+    tmpl = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(j, tmpl) for j in range(m)] + [
+        (1000 + j, f"completely different document number {j} with its own words")
+        for j in range(n_bg)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    auto = [(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(docs).collect()]
+    assert {(0, j) for j in range(1, m)} <= set(auto)  # star keeps connectivity
+    assert len(auto) <= 3 * (m + n_bg)  # O(n) by default, not O(m^2)
+
+    audit = lsh_bucket_audit(docs).collect()[0]
+    assert audit.cap == auto_bucket_cap(m + n_bg) == 80
+    # the identical-doc cluster fills one hot bucket in each of the 4 bands
+    assert audit.n_hot_buckets == 4
+    assert audit.max_bucket == m
+    assert audit.dropped_pairs_ubound == 4 * (m * (m - 1) // 2 - (m - 1))
+
+
+def test_lsh_auto_guard_is_nonbinding_on_fixture(spark):
+    """At the gated scales natural buckets sit far below ceil(8*sqrt(n)), so
+    the default-guarded candidates equal the unguarded (oracle) semantics."""
+    from arabic_ocr_spark.operators.dedup import lsh_bucket_audit, lsh_candidate_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    audit = lsh_bucket_audit(docs).collect()[0]
+    assert audit.n_hot_buckets == 0 and audit.max_bucket <= audit.cap
+    auto = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(docs).collect()}
+    unguarded = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(docs, max_bucket_size=None).collect()}
+    assert auto == unguarded

@@ -151,7 +151,7 @@ def test_hot_bucket_cap_bounds_mass_duplicate_cluster(spark):
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
-    uncapped = embedding_neardup_candidates(emb, 8, 8).count()
+    uncapped = embedding_neardup_candidates(emb, 8, 8, max_bucket_size=None).count()
     assert uncapped >= m * (m - 1) // 2  # the quadratic flood is real
     capped = embedding_neardup_candidates(emb, 8, 8, max_bucket_size=10).collect()
     assert len(capped) <= 4 * (m + n_bg)  # O(n), not O(m^2)
@@ -161,6 +161,20 @@ def test_hot_bucket_cap_bounds_mass_duplicate_cluster(spark):
     got = embedding_neardup_hi(emb, n_bands=8, rows_per_band=8, max_bucket_size=10).collect()
     pairs = {(r.vec_a, r.vec_b) for r in got}
     assert {(0, j) for j in range(1, m)} <= pairs  # star reunites the cluster
+
+    # the DEFAULT path is now guarded: auto cap = ceil(8*sqrt(160)) = 102
+    # < m, so the same mass cluster is star-reduced with no explicit knob
+    from arabic_ocr_spark.operators.dedup import auto_bucket_cap
+    from arabic_ocr_spark.operators.similarity import neardup_bucket_audit
+
+    assert auto_bucket_cap(m + n_bg) == 102
+    auto = embedding_neardup_candidates(emb, 8, 8).collect()
+    assert len(auto) <= 4 * (m + n_bg)
+    assert set(range(1, m)) <= {r.vec_a for r in auto} | {r.vec_b for r in auto}
+    audit = neardup_bucket_audit(emb, 8, 8).collect()[0]
+    assert audit.cap == 102
+    assert audit.n_hot_buckets >= 1 and audit.max_bucket >= m
+    assert audit.dropped_pairs_ubound > 0
 
 
 def test_neardup_hi_auto_sizes_banding_from_corpus(spark, embeddings):
