@@ -40,6 +40,7 @@ from arabic_ocr_spark.operators.similarity import (
     embedding_dup_pairs,
     embedding_neardup_hi,
     ivf_ann_topk,
+    lsh_ann_candidates,
     lsh_ann_topk,
 )
 from arabic_ocr_spark.operators.textstats import (
@@ -433,6 +434,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank", F.col("rank").cast("long"))
     q["ann_ivf_topk"] = lambda s, d: _ann_chain(s, d, "ivf").withColumn(
         "rank", F.col("rank").cast("long"))
+    # the DETERMINISTIC candidate stage of ann_lsh_topk, oracle-gated: the
+    # DuckDB twin replays the seeded Gaussian planes as SQL literals and the
+    # same sign-of-projection bucketing (see _sql_lsh_ann_candidates)
+    q["ann_lsh_candidates"] = lambda s, d: lsh_ann_candidates(_t(s, d, "embeddings"))
     q["ann_recall"] = lambda s, d: ann_recall(
         _t(s, d, "embeddings"),
         exact=_ann_chain(s, d, "exact"),
@@ -558,6 +563,46 @@ SELECT doc_id, score_en, score_de, score_fr, score_es,
     WHEN score_es > 0 THEN 'es'
     ELSE 'und' END AS lang_guess
 FROM s
+"""
+
+
+def _sql_lsh_ann_candidates(dim: int, n_queries: int = 5, n_planes: int = 4,
+                            n_tables: int = 16, seed: int = 11) -> str:
+    """DuckDB twin of similarity.lsh_ann_candidates: the Gaussian plane
+    matrix is a PURE FUNCTION of (seed, bits, dim) — regenerated here with
+    the identical numpy call _band_buckets uses and inlined as float64 SQL
+    literals (repr round-trips doubles exactly), so DuckDB evaluates the
+    same sign-of-projection buckets over the same parquet floats.
+
+    Portability note: Spark computes the projections as one BLAS GEMM,
+    DuckDB as sequential list_dot_product folds — different summation
+    orders can disagree ONLY if a projection lands within float rounding of
+    0 (measured margin on the fixtures: min |projection| 1.3e-6 at sf0.01,
+    ~3e7 x the worst-case accumulated rounding error of a 64-term double
+    dot product), and the check is deterministic for a fixed
+    (seed, corpus), so green once is green always."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((n_tables * n_planes, dim))
+
+    def key_expr(t: int) -> str:
+        terms = []
+        for j in range(n_planes):
+            lit = "[" + ", ".join(repr(x) for x in planes[t * n_planes + j]) + "]"
+            terms.append(f"CASE WHEN list_dot_product(emb, {lit}) > 0 THEN {2 ** j} ELSE 0 END")
+        return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+    sig_branches = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {t} AS band, {key_expr(t)} AS key FROM v" for t in range(n_tables)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings),
+sig AS (
+  {sig_branches}
+),
+q AS (SELECT vec_id AS query_id, band, key FROM sig WHERE vec_id < {n_queries})
+SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+FROM sig s JOIN q ON s.band = q.band AND s.key = q.key AND s.vec_id <> q.query_id
 """
 
 
@@ -699,6 +744,18 @@ SELECT vec_a, vec_b, sim_r FROM (
     # whichever side the driver runs first.
     meta_sf = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     tp = os.path.join(synth_dir_for(meta_sf), "transcripts.parquet").replace("'", "''")
+
+    # ann_lsh candidate stage: the plane literals need the corpus dim, read
+    # once from the same sf dir the driver's views point at (resolution as
+    # meta_sf above); skipped (rows-only fallback) if the table is absent
+    emb_path = os.path.join(meta_sf, "embeddings.parquet")
+    if os.path.exists(emb_path):
+        import duckdb as _duckdb
+
+        dim = _duckdb.sql(
+            f"SELECT len(embedding) FROM read_parquet('{emb_path}') LIMIT 1"
+        ).fetchone()[0]
+        sql["ann_lsh_candidates"] = _sql_lsh_ann_candidates(int(dim))
     sql["payload_meta"] = f"""
 WITH hx AS (
   SELECT conv_id, turn_idx,

@@ -19,6 +19,37 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _calibrate(ms: float = 600.0) -> float:
+    """Single-thread calibration probe: a fixed integer-arithmetic loop,
+    returned as mega-iterations/sec.  Run before AND after the timed section
+    so a loaded window (shared-VM neighbours stealing cycles — the
+    documented ±25% hazard) is visible IN the bench record itself instead
+    of silently inflating per-query seconds; round-over-round comparisons
+    should only pair records with similar calibration numbers."""
+    block = 200_000
+    total, x = 0, 0
+    t0 = time.perf_counter()
+    deadline = t0 + ms / 1000.0
+    while time.perf_counter() < deadline:
+        for _ in range(block):
+            x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        total += block
+    return round(total / (time.perf_counter() - t0) / 1e6, 2)
+
+
+# per-session result caches shared between driver queries (__spark_entry__
+# _extraction_plan/_dedup_chain/_ann_chain/_profile_chain): the FIRST query
+# of a group in bench order pays the full operator cost, later members time
+# projection-only reads of the materialized partitions.  Annotated in the
+# JSON so a later-member timing is never misread as standalone operator cost.
+CACHE_GROUPS = {
+    "extraction_plan": ["extract_turns", "extract_eval", "extract_lineage"],
+    "dedup_chain": ["minhash_lsh_pairs", "jaccard_pairs", "dedup_groups", "curated_docs"],
+    "ann_suite": ["cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_recall"],
+    "payload_profile": ["payload_features", "payload_ink", "payload_thumbnail", "payload_profile"],
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(min(32, os.cpu_count() or 8))))
@@ -40,9 +71,13 @@ def main() -> None:
     # warmup outside every timed window: JVM codegen, python workers,
     # broadcast deserialization.  Uses the UNCACHED extraction plan so the
     # timed extract_turns still pays the full kernel; extract_eval /
-    # extract_lineage then measure the cached-reuse path by design.
-    entry._extraction_plan(spark, sf_dir, cached=False).limit(16 * cpus).count()
-    qs["token_stats"](spark, sf_dir).count()
+    # extract_lineage then measure the cached-reuse path by design.  The
+    # warmup doubles as the smoke check: a broken kernel fails HERE, before
+    # 28 queries of timing are wasted.
+    assert entry._extraction_plan(spark, sf_dir, cached=False).limit(16 * cpus).count() > 0
+    assert qs["token_stats"](spark, sf_dir).count() > 0
+
+    calib_before = _calibrate()
 
     bench_queries = [
         "extract_turns",
@@ -63,6 +98,7 @@ def main() -> None:
         "cosine_topk",
         "embedding_dup_pairs",
         "embedding_neardup_hi",
+        "ann_lsh_candidates",
         "ann_lsh_topk",
         "ann_ivf_topk",
         "payload_thumbnail",
@@ -94,16 +130,31 @@ def main() -> None:
     # high-threshold near-dup pruning evidence: LSH-band candidate volume vs
     # the n^2/2 pairs the exact path would score, at the collision-model
     # banding auto-sized for this corpus (the same params the driver's
-    # embedding_neardup_hi query now derives)
+    # embedding_neardup_hi query now derives), plus the default-guard
+    # hot-bucket audits for BOTH band self-joins — at the gated scales
+    # n_hot_buckets must read 0 (the auto cap binds only on degenerate
+    # mass-templated clusters)
+    from arabic_ocr_spark.operators.dedup import lsh_bucket_audit
     from arabic_ocr_spark.operators.similarity import (
         embedding_neardup_candidates,
         neardup_band_params,
+        neardup_bucket_audit,
     )
 
     aug = entry._augmented_embeddings(spark, sf_dir)
     n_aug = aug.count()
     nb, rpb = neardup_band_params(n_aug)
-    neardup_cands = embedding_neardup_candidates(aug, nb, rpb).count()
+    neardup_cands = embedding_neardup_candidates(aug, nb, rpb, n_rows=n_aug).count()
+
+    def audit_dict(row) -> dict:
+        return {k: row[k] for k in ("cap", "n_buckets", "n_hot_buckets",
+                                    "max_bucket", "dropped_pairs_ubound")}
+
+    emb_audit = audit_dict(neardup_bucket_audit(aug, nb, rpb, n_rows=n_aug).collect()[0])
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    text_audit = audit_dict(lsh_bucket_audit(docs).collect()[0])
+
+    calib_after = _calibrate()
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -120,6 +171,12 @@ def main() -> None:
         "neardup_hi_candidates": neardup_cands,
         "neardup_hi_allpairs": n_aug * (n_aug - 1) // 2,
         "neardup_band_params": [nb, rpb],
+        "hot_bucket_audit": {"embedding_bands": emb_audit, "text_bands": text_audit},
+        # single-thread M-iterations/sec before/after the timed section: a
+        # loaded shared-VM window shows up as a depressed/changing number
+        "calib_mips_before": calib_before,
+        "calib_mips_after": calib_after,
+        "cache_groups": CACHE_GROUPS,
     }
     print(json.dumps(out))
     spark.stop()

@@ -283,3 +283,37 @@ def test_staged_input_respects_payload_roles(spark, synth_dir, tmp_path):
     stage_chunked(spark, df.select("conv_id", "turn_idx", "text"), _cfg(), staged_noro)
     with pytest.raises(ValueError, match="no 'role' column"):
         run_extraction(spark, staged_noro, str(tmp_path / "o_nr"), _cfg(payload_roles=roles))
+
+
+def test_input_table_catalog_read_equals_path_read(spark, synth_dir, tmp_path):
+    """The catalog READ side of run_extraction (input_table=, job.py): a run
+    over a registered table name must produce byte-identical output to the
+    same run over the parquet path — the production entry point when inputs
+    live in a metastore/Iceberg catalog rather than raw paths."""
+    spark.read.parquet(f"{synth_dir}/transcripts.parquet").createOrReplaceTempView(
+        "transcripts_catalog_t"
+    )
+    out_t, out_p = str(tmp_path / "out_table"), str(tmp_path / "out_path")
+    # pin S: the derive_salt_buckets sample partitions differently over a
+    # view scan vs a path scan, and chunk/wave are functions of S — with S
+    # pinned the two runs must be byte-identical INCLUDING lineage columns
+    stats_t = run_extraction(spark, None, out_t, _cfg(salt_buckets=4),
+                             input_table="transcripts_catalog_t")
+    stats_p = run_extraction(spark, f"{synth_dir}/transcripts.parquet", out_p,
+                             _cfg(salt_buckets=4))
+    assert stats_t["rows_written"] == stats_p["rows_written"] > 0
+    key = ["conv_id", "turn_idx"]
+    # proc_us is wall-clock per-row timing — the one legitimately
+    # nondeterministic column
+    a = _read_out(spark, out_t).drop("proc_us").orderBy(*key).collect()
+    b = _read_out(spark, out_p).drop("proc_us").orderBy(*key).collect()
+    assert a == b
+    spark.catalog.dropTempView("transcripts_catalog_t")
+
+
+def test_input_path_xor_table_enforced(spark, synth_dir, tmp_path):
+    with pytest.raises(ValueError, match="exactly one of"):
+        run_extraction(spark, f"{synth_dir}/transcripts.parquet", str(tmp_path / "o"),
+                       _cfg(), input_table="also_a_table")
+    with pytest.raises(ValueError, match="exactly one of"):
+        run_extraction(spark, None, str(tmp_path / "o2"), _cfg())
