@@ -96,7 +96,14 @@ def _evict_cache(cache: dict, key: tuple[str, str]) -> None:
     stopped session, but the Python references would pin them forever) AND
     other sf_dirs of the live session (an unbounded per-sf cache would pin
     every scale's persisted stages for the whole application lifetime),
-    unpersisting whatever is evicted."""
+    unpersisting whatever is evicted.
+
+    Known trade-off: a single session interleaving TWO scales (no current
+    flow does — driver gate, bench, and tools each pin one sf_dir per
+    session) would thrash-recompute on every alternation; if a multi-scale
+    flow ever appears, widen this to keep-last-K sf_dirs instead of
+    exactly one.  Correctness is unaffected either way — evicted entries
+    are recomputed, never reused stale."""
     for stale in [k for k in cache if k != key]:
         v = cache.pop(stale)
         for df in (v.values() if isinstance(v, dict) else [v]):
