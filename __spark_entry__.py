@@ -38,10 +38,12 @@ from arabic_ocr_spark.operators.similarity import (
     ann_recall,
     cosine_topk,
     embedding_dup_pairs,
+    embedding_neardup_candidates,
     embedding_neardup_hi,
     ivf_ann_topk,
     lsh_ann_candidates,
     lsh_ann_topk,
+    neardup_band_params,
 )
 from arabic_ocr_spark.operators.textstats import (
     BPE_SPLIT_PATTERN,
@@ -470,6 +472,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank", F.col("rank").cast("long"))
     q["embedding_dup_pairs"] = lambda s, d: embedding_dup_pairs(_t(s, d, "embeddings"))
     q["embedding_neardup_hi"] = lambda s, d: embedding_neardup_hi(_augmented_embeddings(s, d))
+
+    def _q_neardup_cands(s, d):
+        """The deterministic banded-LSH candidate stage of the near-dup
+        operator, at the same collision-model (b, r) the hi query derives —
+        oracle-gated like ann_lsh_candidates (seeded planes replayed as SQL
+        literals over the oracle's own aug reconstruction)."""
+        aug = _augmented_embeddings(s, d)
+        n = aug.count()
+        nb, rpb = neardup_band_params(n)
+        return embedding_neardup_candidates(aug, nb, rpb, n_rows=n)
+
+    q["embedding_neardup_cands"] = _q_neardup_cands
     q["pricing_summary"] = lambda s, d: pricing_summary(_t(s, d, "lineitem"))
     q["orders_by_nation"] = lambda s, d: orders_by_nation(
         _t(s, d, "orders"), _t(s, d, "customer"), _t(s, d, "nation"))
@@ -1036,7 +1050,7 @@ FROM agg a JOIN t ON a.conv_id = t.conv_id AND a.turn_idx = t.turn_idx
     # planted duplicate through its LSH bands and reject every decoy
     perturb = ("[emb[g] * (1 + {amp} * (((g-1) % 7) - 3) / CAST(30.0 AS DOUBLE)) "
                "for g in generate_series(1, len(emb))]")
-    sql["embedding_neardup_hi"] = f"""
+    aug_cte = f"""
 WITH base AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings),
 aug AS (
   SELECT vec_id, emb FROM base
@@ -1046,13 +1060,47 @@ aug AS (
   UNION ALL
   SELECT vec_id + 2000000, {perturb.format(amp="CAST(6.0 AS DOUBLE)")}
   FROM base WHERE vec_id >= 40 AND vec_id < 50
-)
+)"""
+    sql["embedding_neardup_hi"] = aug_cte + """
 SELECT vec_a, vec_b, sim_r FROM (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
     round(list_dot_product(a.emb, b.emb)
           / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) AS sim_r
   FROM aug a JOIN aug b ON a.vec_id < b.vec_id
 ) WHERE sim_r >= 0.95
+"""
+
+    # the near-dup candidate stage, oracle-gated like ann_lsh_candidates:
+    # the twin replays the collision-model (b, r) for the SAME corpus count
+    # the Spark query derives, the seed-7 planes as literals, and the
+    # banded sign-bucket self-join over its own aug reconstruction
+    if os.path.exists(emb_path):
+        import duckdb as _duckdb2
+        import numpy as _np
+
+        base_n = _duckdb2.sql(
+            f"SELECT count(*) FROM read_parquet('{emb_path}')"
+        ).fetchone()[0]
+        n_aug = int(base_n) + 50  # 40 planted dups + 10 decoys
+        nb, rpb = neardup_band_params(n_aug)
+        nd_planes = _np.random.default_rng(7).standard_normal((nb * rpb, int(dim)))
+
+        def nd_key_expr(t: int) -> str:
+            terms = []
+            for j in range(rpb):
+                lit = "[" + ", ".join(repr(x) for x in nd_planes[t * rpb + j]) + "]"
+                terms.append(f"CASE WHEN list_dot_product(emb, {lit}) > 0 THEN {2 ** j} ELSE 0 END")
+            return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+        nd_sig = "\n  UNION ALL ".join(
+            f"SELECT vec_id, {t} AS band, {nd_key_expr(t)} AS key FROM aug" for t in range(nb)
+        )
+        sql["embedding_neardup_cands"] = aug_cte + f""",
+sig AS (
+  {nd_sig}
+)
+SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+FROM sig l JOIN sig r ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id
 """
 
     sql["pricing_summary"] = """
