@@ -264,8 +264,15 @@ def _ann_chain(spark: SparkSession, sf_dir: str, stage: str) -> DataFrame:
     return cache[stage]
 
 
+# planted-fixture shape shared by _augmented_embeddings AND its oracle
+# twins (the aug CTE's id-range filters and the collision-model row count
+# must replay these exact values)
+_N_PLANTED = 40
+_N_DECOYS = 10
+
+
 def _augmented_embeddings(spark: SparkSession, sf_dir: str,
-                          n_planted: int = 40, n_decoys: int = 10) -> DataFrame:
+                          n_planted: int = _N_PLANTED, n_decoys: int = _N_DECOYS) -> DataFrame:
     """The embeddings table plus DETERMINISTICALLY planted near-duplicates,
     the fixture for the high-threshold (0.95) near-dup operator: the raw
     synthetic embeddings max out at pairwise cosine ~0.48, so without
@@ -1056,10 +1063,10 @@ aug AS (
   SELECT vec_id, emb FROM base
   UNION ALL
   SELECT vec_id + 1000000, {perturb.format(amp="CAST(0.5 AS DOUBLE) * (1 + vec_id % 4)")}
-  FROM base WHERE vec_id < 40
+  FROM base WHERE vec_id < {_N_PLANTED}
   UNION ALL
   SELECT vec_id + 2000000, {perturb.format(amp="CAST(6.0 AS DOUBLE)")}
-  FROM base WHERE vec_id >= 40 AND vec_id < 50
+  FROM base WHERE vec_id >= {_N_PLANTED} AND vec_id < {_N_PLANTED + _N_DECOYS}
 )"""
     sql["embedding_neardup_hi"] = aug_cte + """
 SELECT vec_a, vec_b, sim_r FROM (
@@ -1078,10 +1085,17 @@ SELECT vec_a, vec_b, sim_r FROM (
         import duckdb as _duckdb2
         import numpy as _np
 
-        base_n = _duckdb2.sql(
-            f"SELECT count(*) FROM read_parquet('{emb_path}')"
-        ).fetchone()[0]
-        n_aug = int(base_n) + 50  # 40 planted dups + 10 decoys
+        # the aug row count REPLAYS the planted branches' id-range filters
+        # (not a constant +50): on a fixture with sparse or missing low ids
+        # both engines must size the banding from the same n
+        base_n, n_planted, n_decoys = _duckdb2.sql(f"""
+            SELECT count(*),
+                   count(*) FILTER (vec_id < {_N_PLANTED}),
+                   count(*) FILTER (vec_id >= {_N_PLANTED}
+                                    AND vec_id < {_N_PLANTED + _N_DECOYS})
+            FROM read_parquet('{emb_path}')
+        """).fetchone()
+        n_aug = int(base_n) + int(n_planted) + int(n_decoys)
         nb, rpb = neardup_band_params(n_aug)
         nd_planes = _np.random.default_rng(7).standard_normal((nb * rpb, int(dim)))
 

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["exact_dup_groups", "minhash_signatures", "lsh_candidate_pairs",
            "jaccard_verified_pairs", "simhash", "simhash_expr",
            "min_label_components", "dedup_groups", "auto_bucket_cap",
-           "bucket_audit", "lsh_bucket_audit"]
+           "resolve_bucket_cap", "bucket_audit", "lsh_bucket_audit"]
 
 
 def auto_bucket_cap(n_rows: int, c: float = 8.0) -> int:
@@ -38,6 +38,28 @@ def auto_bucket_cap(n_rows: int, c: float = 8.0) -> int:
     and the banded semantics stay exactly oracle-checked; only a
     mass-templated degenerate cluster crosses it."""
     return max(64, math.ceil(c * math.sqrt(max(n_rows, 1))))
+
+
+def resolve_bucket_cap(max_bucket_size: int | str | None,
+                       source: DataFrame | None = None,
+                       n_rows: int | None = None) -> int | None:
+    """Resolve a max_bucket_size argument to a concrete cap (or None for
+    unguarded): the ONE place the "auto" rule lives, shared by both band
+    operators and their audits so they can never disagree on the cap.
+    Only the exact string "auto" is accepted — any other string raises
+    instead of silently flowing into a Spark string-vs-int comparison
+    (which would cast to NULL and star-reduce EVERY bucket)."""
+    if max_bucket_size is None:
+        return None
+    if isinstance(max_bucket_size, str):
+        if max_bucket_size != "auto":
+            raise ValueError(
+                f"max_bucket_size must be an int, None, or the string 'auto'; "
+                f"got {max_bucket_size!r}"
+            )
+        n = n_rows if n_rows is not None else source.count()
+        return auto_bucket_cap(n)
+    return int(max_bucket_size)
 
 
 def bucket_audit(buckets: DataFrame, cap: int, id_col: str) -> DataFrame:
@@ -170,9 +192,7 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = 7, num_hashes: int = 8, band_s
     co-occur in some below-cap bucket.  Audit bucket composition
     (lsh_bucket_audit) before relying on a cap in recall-sensitive paths."""
     buckets = _text_band_buckets(docs, k, num_hashes, band_size)
-    if max_bucket_size == "auto":
-        n = n_rows if n_rows is not None else docs.count()
-        max_bucket_size = auto_bucket_cap(n)
+    max_bucket_size = resolve_bucket_cap(max_bucket_size, docs, n_rows)
     if max_bucket_size is not None:
         sizes = buckets.groupBy("band", "band_key").agg(
             F.count("*").alias("bsz"), F.min("doc_id").alias("anchor")
@@ -206,17 +226,16 @@ def lsh_bucket_audit(docs: DataFrame, k: int = 7, num_hashes: int = 8, band_size
     dropped_pairs_ubound).  Run it before enabling a cap on a new corpus —
     and alongside the guarded job in production — so a binding cap is a
     measured, inspected event rather than silent pair loss."""
-    if max_bucket_size == "auto":
-        n = n_rows if n_rows is not None else docs.count()
-        max_bucket_size = auto_bucket_cap(n)
-    cap = max_bucket_size if max_bucket_size is not None else 2**62
-    return bucket_audit(_text_band_buckets(docs, k, num_hashes, band_size), cap, "doc_id")
+    cap = resolve_bucket_cap(max_bucket_size, docs, n_rows)
+    return bucket_audit(_text_band_buckets(docs, k, num_hashes, band_size),
+                        cap if cap is not None else 2**62, "doc_id")
 
 
 def jaccard_verified_pairs(docs: DataFrame, k: int = 7, num_hashes: int = 8,
                            band_size: int = 2, threshold: float = 0.6,
                            broadcast_shingles: bool = True,
-                           candidates: DataFrame | None = None) -> DataFrame:
+                           candidates: DataFrame | None = None,
+                           n_rows: int | None = None) -> DataFrame:
     """Exact shingle-set Jaccard on the LSH candidates; keeps pairs with
     J >= threshold.  (doc_a, doc_b, jaccard rounded to 4).
 
@@ -237,7 +256,9 @@ def jaccard_verified_pairs(docs: DataFrame, k: int = 7, num_hashes: int = 8,
     ever pinned in executor storage) — this assumes `docs` re-evaluates
     stably (a parquet/Iceberg snapshot, the normal case).  Over a
     non-deterministic upstream, checkpoint `docs` itself first."""
-    cands = candidates if candidates is not None else lsh_candidate_pairs(docs, k, num_hashes, band_size)
+    cands = candidates if candidates is not None else lsh_candidate_pairs(
+        docs, k, num_hashes, band_size, n_rows=n_rows
+    )
     # shingles mapped to 60-bit ints (first 15 hex chars of md5): integer
     # set intersection is ~30% faster than string intersection, and because
     # the DuckDB oracle applies the IDENTICAL mapping, even a hash
@@ -353,7 +374,8 @@ def min_label_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
 
 def dedup_groups(docs: DataFrame, k: int = 7, num_hashes: int = 8,
                  band_size: int = 2, threshold: float = 0.6,
-                 max_iters: int = 20, pairs: DataFrame | None = None) -> DataFrame:
+                 max_iters: int = 20, pairs: DataFrame | None = None,
+                 n_rows: int | None = None) -> DataFrame:
     """Near-duplicate GROUPS: connected components over the Jaccard-verified
     pair graph; every document gets its component's minimum doc_id as
     group_rep (singletons map to themselves).  See min_label_components for
@@ -361,7 +383,8 @@ def dedup_groups(docs: DataFrame, k: int = 7, num_hashes: int = 8,
     end.  `pairs` optionally supplies a precomputed jaccard_verified_pairs
     result (see its docstring on chain materialization)."""
     if pairs is None:
-        pairs = jaccard_verified_pairs(docs, k, num_hashes, band_size, threshold)
+        pairs = jaccard_verified_pairs(docs, k, num_hashes, band_size, threshold,
+                                       n_rows=n_rows)
     pairs = pairs.select("doc_a", "doc_b")
     labels = min_label_components(pairs, max_iters)
     return (

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from arabic_ocr_spark.operators.dedup import auto_bucket_cap, bucket_audit
+from arabic_ocr_spark.operators.dedup import bucket_audit, resolve_bucket_cap
 
 __all__ = ["cosine_topk", "lsh_ann_topk", "lsh_ann_candidates", "ivf_ann_topk", "ann_recall",
            "embedding_dup_pairs", "embedding_neardup_candidates", "embedding_neardup_hi",
@@ -248,9 +248,7 @@ def embedding_neardup_candidates(embeddings: DataFrame, n_bands: int = 16,
     point: at 0.95+ this replaces a quadratic GEMM with a bucket join."""
     vecs = embeddings.select("vec_id", _as_double("embedding").alias("v"))
     buckets = _band_buckets(vecs, n_bands, rows_per_band, seed)
-    if max_bucket_size == "auto":
-        n = n_rows if n_rows is not None else vecs.count()
-        max_bucket_size = auto_bucket_cap(n)
+    max_bucket_size = resolve_bucket_cap(max_bucket_size, vecs, n_rows)
     if max_bucket_size is not None:
         sizes = buckets.groupBy("band", "key").agg(
             F.count("*").alias("bsz"), F.min("vec_id").alias("anchor")
@@ -288,11 +286,9 @@ def neardup_bucket_audit(embeddings: DataFrame, n_bands: int = 16,
     and alongside the guarded job in production — so a binding cap is a
     measured, inspected event rather than silent pair loss."""
     vecs = embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    if max_bucket_size == "auto":
-        n = n_rows if n_rows is not None else vecs.count()
-        max_bucket_size = auto_bucket_cap(n)
-    cap = max_bucket_size if max_bucket_size is not None else 2**62
-    return bucket_audit(_band_buckets(vecs, n_bands, rows_per_band, seed), cap, "vec_id")
+    cap = resolve_bucket_cap(max_bucket_size, vecs, n_rows)
+    return bucket_audit(_band_buckets(vecs, n_bands, rows_per_band, seed),
+                        cap if cap is not None else 2**62, "vec_id")
 
 
 def neardup_band_params(n_rows: int, threshold: float = 0.95,
@@ -372,8 +368,7 @@ def embedding_neardup_hi(embeddings: DataFrame, threshold: float = 0.95,
         auto_b, auto_r = neardup_band_params(n, threshold)
         n_bands = auto_b if n_bands is None else n_bands
         rows_per_band = auto_r if rows_per_band is None else rows_per_band
-    if max_bucket_size == "auto":
-        max_bucket_size = auto_bucket_cap(n)
+    max_bucket_size = resolve_bucket_cap(max_bucket_size, vecs, n)
     cand = embedding_neardup_candidates(embeddings, n_bands, rows_per_band, seed,
                                         max_bucket_size)
     va = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
@@ -555,7 +550,12 @@ def ann_recall(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     # neighbours, and a fixed denominator would understate even a perfect
     # approximate result
     n_exact = exact.count()
-    n_queries = exact.select("query_id").distinct().count()
+    # REPORTED query count comes from the exact frame; the n_queries
+    # PARAMETER stays intact below because it still sizes the default
+    # ivf/lsh frames — overwriting it would build approximate frames over a
+    # smaller id range than the baseline on corpora with sparse vec_ids and
+    # wrongly deflate recall
+    n_queries_measured = exact.select("query_id").distinct().count()
 
     def recall_of(approx: DataFrame):
         if n_exact == 0:
@@ -569,7 +569,7 @@ def ann_recall(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
         lsh = lsh_ann_topk(embeddings, n_queries, k)
     spark = embeddings.sparkSession
     return spark.createDataFrame(
-        [(n_queries, float(recall_of(ivf)), float(recall_of(lsh)))],
+        [(n_queries_measured, float(recall_of(ivf)), float(recall_of(lsh)))],
         "n_queries int, ivf_recall double, lsh_recall double",
     )
 

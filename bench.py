@@ -74,8 +74,12 @@ def main() -> None:
     # extract_lineage then measure the cached-reuse path by design.  The
     # warmup doubles as the smoke check: a broken kernel fails HERE, before
     # 28 queries of timing are wasted.
-    assert entry._extraction_plan(spark, sf_dir, cached=False).limit(16 * cpus).count() > 0
-    assert qs["token_stats"](spark, sf_dir).count() > 0
+    # explicit raise (not assert): the warmup side effect and the smoke
+    # check must survive python -O
+    warm_kernel = entry._extraction_plan(spark, sf_dir, cached=False).limit(16 * cpus).count()
+    warm_tokens = qs["token_stats"](spark, sf_dir).count()
+    if warm_kernel <= 0 or warm_tokens <= 0:
+        raise RuntimeError(f"smoke check failed: kernel={warm_kernel}, tokens={warm_tokens}")
 
     calib_before = _calibrate()
 

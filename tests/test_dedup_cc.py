@@ -101,3 +101,19 @@ def test_lsh_auto_guard_is_nonbinding_on_fixture(spark):
     auto = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(docs).collect()}
     unguarded = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(docs, max_bucket_size=None).collect()}
     assert auto == unguarded
+
+
+def test_resolve_bucket_cap_validates_strings():
+    """Only the exact string 'auto' is a valid cap spelling: anything else
+    must raise instead of flowing into a Spark string-vs-int comparison
+    (which casts to NULL and would silently star-reduce EVERY bucket)."""
+    import pytest as _pytest
+
+    from arabic_ocr_spark.operators.dedup import resolve_bucket_cap
+
+    assert resolve_bucket_cap(None) is None
+    assert resolve_bucket_cap(10) == 10
+    assert resolve_bucket_cap("auto", n_rows=100) == 80
+    for bad in ("AUTO", "Auto", "64", ""):
+        with _pytest.raises(ValueError, match="auto"):
+            resolve_bucket_cap(bad, n_rows=100)

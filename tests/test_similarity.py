@@ -194,3 +194,34 @@ def test_neardup_hi_auto_sizes_banding_from_corpus(spark, embeddings):
     pinned = embedding_neardup_hi(aug, n_bands=explicit_b, rows_per_band=explicit_r).collect()
     assert sorted(map(tuple, auto)) == sorted(map(tuple, pinned))
     assert {(i, i + 1_000_000) for i in range(40)} <= {(r.vec_a, r.vec_b) for r in auto}
+
+
+def test_ann_recall_defaults_match_explicit_suite_on_sparse_ids(spark):
+    """Regression: ann_recall must size its DEFAULT ivf/lsh frames with the
+    n_queries parameter (not the exact frame's distinct count) — on sparse
+    vec_ids the distinct count is smaller, and building the approximate
+    frames over the narrower id range penalized recall for queries the
+    approximations were never asked about.  The reported n_queries column
+    carries the measured distinct count."""
+    from arabic_ocr_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk,
+        ivf_ann_topk,
+        lsh_ann_topk,
+    )
+
+    rows = [
+        (3 * j, [float((((i * 13 + j * 7 + 3) % 17) - 8) or 1) for i in range(8)])
+        for j in range(40)
+    ]  # ids 0,3,6,... -> only {0, 3} fall below n_queries=5
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    defaulted = ann_recall(emb, n_queries=5, k=5).collect()[0]
+    explicit = ann_recall(
+        emb, n_queries=5, k=5,
+        exact=cosine_topk(emb, 5, 5), ivf=ivf_ann_topk(emb, 5, 5),
+        lsh=lsh_ann_topk(emb, 5, 5),
+    ).collect()[0]
+    assert defaulted["n_queries"] == explicit["n_queries"] == 2
+    assert defaulted["ivf_recall"] == explicit["ivf_recall"]
+    assert defaulted["lsh_recall"] == explicit["lsh_recall"]

@@ -118,19 +118,21 @@ def main() -> None:
         emb = scaled_embeddings(spark, SF_DIR, scale).localCheckpoint()
         return docs, emb
 
-    def run_suite(docs, emb, n_vecs):
+    def run_suite(docs, emb, n_vecs, n_docs):
         # auto-sized banding for THIS corpus size (the collision-model
         # params the production near-dup path derives): background
         # candidates/row should stay O(1) as rows grow 10x, where a fixed
         # banding keeps a constant FRACTION of n^2/2
         nb, rpb = neardup_band_params(n_vecs)
+        # n_rows threaded everywhere the auto cap would otherwise count:
+        # the timed windows measure the operators, not a plan-time count
         queries = {
             "dedup_exact": lambda: exact_dup_groups(docs),
-            "minhash_lsh_pairs": lambda: lsh_candidate_pairs(docs),
-            "jaccard_pairs": lambda: jaccard_verified_pairs(docs),
-            "dedup_groups": lambda: dedup_groups(docs),
+            "minhash_lsh_pairs": lambda: lsh_candidate_pairs(docs, n_rows=n_docs),
+            "jaccard_pairs": lambda: jaccard_verified_pairs(docs, n_rows=n_docs),
+            "dedup_groups": lambda: dedup_groups(docs, n_rows=n_docs),
             "embedding_neardup_hi": lambda: embedding_neardup_hi(emb, n_rows=n_vecs),
-            "neardup_candidates": lambda: embedding_neardup_candidates(emb, nb, rpb),
+            "neardup_candidates": lambda: embedding_neardup_candidates(emb, nb, rpb, n_rows=n_vecs),
             "ann_ivf_topk": lambda: ivf_ann_topk(emb),
         }
         out = {}
@@ -156,7 +158,7 @@ def main() -> None:
         # warmup pass so JVM/py-worker spin-up stays out of the 1x numbers
         if scale == 1:
             exact_dup_groups(docs).count()
-        results[f"{scale}x"] = run_suite(docs, emb, ne)
+        results[f"{scale}x"] = run_suite(docs, emb, ne, nd)
         results[f"{scale}x"]["_n_docs"] = nd
         if scale == SCALE:
             # the default hot-bucket guard BINDS on this corpus (the token-
@@ -167,7 +169,8 @@ def main() -> None:
             # bands, so the default guard costs zero true pairs here while
             # skipping millions of useless verify rows
             audit = lsh_bucket_audit(docs, n_rows=nd).collect()[0].asDict()
-            guarded = {(r.doc_a, r.doc_b) for r in jaccard_verified_pairs(docs).collect()}
+            guarded = {(r.doc_a, r.doc_b)
+                       for r in jaccard_verified_pairs(docs, n_rows=nd).collect()}
             raw_c = lsh_candidate_pairs(docs, max_bucket_size=None)
             unguarded = {(r.doc_a, r.doc_b)
                          for r in jaccard_verified_pairs(docs, candidates=raw_c).collect()}
