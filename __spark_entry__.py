@@ -594,13 +594,14 @@ FROM s
 """
 
 
-def _sql_lsh_ann_candidates(dim: int, n_queries: int = 5, n_planes: int = 4,
-                            n_tables: int = 16, seed: int = 11) -> str:
-    """DuckDB twin of similarity.lsh_ann_candidates: the Gaussian plane
-    matrix is a PURE FUNCTION of (seed, bits, dim) — regenerated here with
-    the identical numpy call _band_buckets uses and inlined as float64 SQL
-    literals (repr round-trips doubles exactly), so DuckDB evaluates the
-    same sign-of-projection buckets over the same parquet floats.
+def _sql_lsh_ann_cte(dim: int, n_queries: int = 5, n_planes: int = 4,
+                     n_tables: int = 16, seed: int = 11) -> str:
+    """Shared WITH-prefix for the ANN-LSH oracles (candidates + full top-k):
+    DuckDB twin of similarity._band_buckets — the Gaussian plane matrix is a
+    PURE FUNCTION of (seed, bits, dim), regenerated here with the identical
+    numpy call and inlined as float64 SQL literals (repr round-trips doubles
+    exactly), so DuckDB evaluates the same sign-of-projection buckets over
+    the same parquet floats.
 
     Portability note: Spark computes the projections as one BLAS GEMM,
     DuckDB as sequential list_dot_product folds — different summation
@@ -628,9 +629,38 @@ WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM emb
 sig AS (
   {sig_branches}
 ),
-q AS (SELECT vec_id AS query_id, band, key FROM sig WHERE vec_id < {n_queries})
-SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
-FROM sig s JOIN q ON s.band = q.band AND s.key = q.key AND s.vec_id <> q.query_id
+q AS (SELECT vec_id AS query_id, band, key FROM sig WHERE vec_id < {n_queries}),
+cand AS (
+  SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+  FROM sig s JOIN q ON s.band = q.band AND s.key = q.key AND s.vec_id <> q.query_id
+)"""
+
+
+def _sql_lsh_ann_candidates(dim: int, **kw) -> str:
+    return _sql_lsh_ann_cte(dim, **kw) + """
+SELECT query_id, neighbor_id FROM cand
+"""
+
+
+def _sql_lsh_ann_topk(dim: int, k: int = 10, **kw) -> str:
+    """Full ann_lsh_topk twin: the candidate CTE above + exact cosine over
+    the candidate pairs + the deterministic (sim_r DESC, neighbor_id ASC)
+    row_number ranking — the whole operator is a deterministic function of
+    (seed, corpus), so it is value-gated end-to-end; only its RECALL vs the
+    exact baseline is an approximation property (measured by ann_recall)."""
+    return _sql_lsh_ann_cte(dim, **kw) + f""",
+sims AS (
+  SELECT c.query_id, c.neighbor_id,
+    round(list_dot_product(qv.emb, nv.emb)
+          / (sqrt(list_dot_product(qv.emb, qv.emb)) * sqrt(list_dot_product(nv.emb, nv.emb))), 4) AS sim_r
+  FROM cand c
+  JOIN v qv ON qv.vec_id = c.query_id
+  JOIN v nv ON nv.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, sim_r, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id ASC) AS rank
+  FROM sims
+) WHERE rank <= {k}
 """
 
 
@@ -784,6 +814,11 @@ SELECT vec_a, vec_b, sim_r FROM (
             f"SELECT len(embedding) FROM read_parquet('{emb_path}') LIMIT 1"
         ).fetchone()[0]
         sql["ann_lsh_candidates"] = _sql_lsh_ann_candidates(int(dim))
+        # the FULL LSH top-k is deterministic end-to-end (seeded candidates
+        # + exact cosine + deterministic tie-break), so it is value-gated —
+        # it leaves the rows-only set; only IVF (trained quantizer) and the
+        # recall measurement built on it remain rows-only
+        sql["ann_lsh_topk"] = _sql_lsh_ann_topk(int(dim))
     sql["payload_meta"] = f"""
 WITH hx AS (
   SELECT conv_id, turn_idx,
