@@ -461,6 +461,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lsh=_ann_chain(s, d, "lsh"),
     )
 
+    def _q_ann_lsh_recall(s, d):
+        """LSH recall@10 vs the exact baseline as a VALUE-GATED query: both
+        top-k sets are deterministic pure functions of (seed, corpus) — see
+        the ann_lsh_topk twin — so the recall itself is a replayable
+        constant the DuckDB oracle recomputes from scratch.  Only the IVF
+        side of ann_recall stays rows-only (trained quantizer)."""
+        exact = _ann_chain(s, d, "exact").select("query_id", "neighbor_id")
+        lsh = _ann_chain(s, d, "lsh").select(
+            "query_id", "neighbor_id").withColumn("hit", F.lit(1))
+        j = exact.join(lsh, ["query_id", "neighbor_id"], "left")
+        return j.agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hit"),
+            F.round(F.sum(F.coalesce("hit", F.lit(0))) / F.count("*"), 6).alias("lsh_recall"),
+        )
+
+    q["ann_lsh_recall"] = _q_ann_lsh_recall
+
     # oracle-backed operators
     q["dedup_exact"] = lambda s, d: exact_dup_groups(_t(s, d, "documents"))
     q["minhash_lsh_pairs"] = lambda s, d: _dedup_chain(s, d, "cands")
@@ -642,13 +660,7 @@ SELECT query_id, neighbor_id FROM cand
 """
 
 
-def _sql_lsh_ann_topk(dim: int, k: int = 10, **kw) -> str:
-    """Full ann_lsh_topk twin: the candidate CTE above + exact cosine over
-    the candidate pairs + the deterministic (sim_r DESC, neighbor_id ASC)
-    row_number ranking — the whole operator is a deterministic function of
-    (seed, corpus), so it is value-gated end-to-end; only its RECALL vs the
-    exact baseline is an approximation property (measured by ann_recall)."""
-    return _sql_lsh_ann_cte(dim, **kw) + f""",
+_SQL_LSH_SIMS = """,
 sims AS (
   SELECT c.query_id, c.neighbor_id,
     round(list_dot_product(qv.emb, nv.emb)
@@ -656,7 +668,48 @@ sims AS (
   FROM cand c
   JOIN v qv ON qv.vec_id = c.query_id
   JOIN v nv ON nv.vec_id = c.neighbor_id
+)"""
+
+
+def _sql_lsh_ann_recall(dim: int, k: int = 10, n_queries: int = 5, **kw) -> str:
+    """DuckDB twin of the ann_lsh_recall query: recomputes BOTH top-k sets
+    from scratch — the exact cosine baseline and the banded-LSH top-k (the
+    same CTEs as the cosine_topk / ann_lsh_topk twins) — and replays the
+    left-join hit aggregate, so the recall number itself is value-gated."""
+    return _sql_lsh_ann_cte(dim, n_queries=n_queries, **kw) + _SQL_LSH_SIMS + f""",
+lshk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id ASC) AS rank
+    FROM sims
+  ) WHERE rank <= {k}
+),
+xsims AS (
+  SELECT q2.query_id, v2.vec_id AS neighbor_id,
+    round(list_dot_product(q2.qe, v2.emb)
+          / (sqrt(list_dot_product(q2.qe, q2.qe)) * sqrt(list_dot_product(v2.emb, v2.emb))), 4) AS sim_r
+  FROM v v2 JOIN (SELECT vec_id AS query_id, emb AS qe FROM v WHERE vec_id < {n_queries}) q2
+    ON v2.vec_id <> q2.query_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id ASC) AS rank
+    FROM xsims
+  ) WHERE rank <= {k}
 )
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+  CAST(coalesce(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit,
+  round(CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS lsh_recall
+FROM exact e LEFT JOIN lshk l ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+"""
+
+
+def _sql_lsh_ann_topk(dim: int, k: int = 10, **kw) -> str:
+    """Full ann_lsh_topk twin: the candidate CTE above + exact cosine over
+    the candidate pairs + the deterministic (sim_r DESC, neighbor_id ASC)
+    row_number ranking — the whole operator is a deterministic function of
+    (seed, corpus), so it is value-gated end-to-end; even its RECALL vs the
+    exact baseline is a replayable constant (see _sql_lsh_ann_recall)."""
+    return _sql_lsh_ann_cte(dim, **kw) + _SQL_LSH_SIMS + f"""
 SELECT query_id, neighbor_id, sim_r, CAST(rank AS BIGINT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id ASC) AS rank
   FROM sims
@@ -819,6 +872,7 @@ SELECT vec_a, vec_b, sim_r FROM (
         # it leaves the rows-only set; only IVF (trained quantizer) and the
         # recall measurement built on it remain rows-only
         sql["ann_lsh_topk"] = _sql_lsh_ann_topk(int(dim))
+        sql["ann_lsh_recall"] = _sql_lsh_ann_recall(int(dim))
     sql["payload_meta"] = f"""
 WITH hx AS (
   SELECT conv_id, turn_idx,

@@ -45,7 +45,7 @@ def _calibrate(ms: float = 600.0) -> float:
 CACHE_GROUPS = {
     "extraction_plan": ["extract_turns", "extract_eval", "extract_lineage"],
     "dedup_chain": ["minhash_lsh_pairs", "jaccard_pairs", "dedup_groups", "curated_docs"],
-    "ann_suite": ["cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_recall"],
+    "ann_suite": ["cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_recall", "ann_lsh_recall"],
     "payload_profile": ["payload_features", "payload_ink", "payload_thumbnail", "payload_profile"],
 }
 
@@ -130,6 +130,10 @@ def main() -> None:
     t0 = time.perf_counter()
     recall_row = qs["ann_recall"](spark, sf_dir).collect()[0]
     timings["ann_recall"] = round(time.perf_counter() - t0, 3)
+    # the value-gated LSH recall twin (reads the same materialized suite)
+    t0 = time.perf_counter()
+    qs["ann_lsh_recall"](spark, sf_dir).count()
+    timings["ann_lsh_recall"] = round(time.perf_counter() - t0, 3)
 
     # high-threshold near-dup pruning evidence: LSH-band candidate volume vs
     # the n^2/2 pairs the exact path would score, at the collision-model
