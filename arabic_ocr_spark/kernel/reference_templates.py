@@ -8,17 +8,26 @@ the synthetic alphabet has different glyph shapes — but the reference's
 exact (name, threshold, action) table is part of its observable tuning and
 is preserved here verbatim for fidelity and parity audits.  The PNG pixels
 themselves are glyph artwork for the reference's Arabic fonts and are
-deliberately NOT copied; `build_specs` binds the table to any alphabet's
-own pattern images.
+deliberately NOT copied into this repo; `build_specs` binds the table to
+any alphabet's own pattern images, and `load_reference_patterns` reads the
+reference's ACTUAL artwork at runtime (from-scratch PNG decoder,
+sources/png.py — the environment ships no image library) through the same
+grayscale+binarize path the reference applies (utils.py:35-39), so a
+deployment holding the original pattern files runs the genuine Arabic
+template suppression end-to-end.
 """
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+from arabic_ocr_spark.sources.png import png_to_gray
 
 from .segmentation import TemplateSpec
 
-__all__ = ["REFERENCE_TEMPLATE_TABLE", "build_specs"]
+__all__ = ["REFERENCE_TEMPLATE_TABLE", "build_specs", "load_reference_patterns"]
 
 # (pattern name, NCC threshold, action, enabled) — preprocess.py:329-394.
 # 'enabled' False marks the two templates the reference ships but keeps
@@ -55,3 +64,23 @@ def build_specs(images: dict[str, np.ndarray], include_disabled: bool = False) -
             continue
         specs.append(TemplateSpec(name=name, image=img, threshold=threshold, action=action))
     return specs
+
+
+def load_reference_patterns(patterns_dir: str) -> dict[str, np.ndarray]:
+    """Reads the reference's pattern artwork from `patterns_dir` into the
+    name -> binary-raster dict `build_specs` consumes, replaying the
+    reference's own load path bit for bit: PNG decode, alpha dropped,
+    OpenCV fixed-point BT.601 grayscale, then threshold-127 INVERT
+    (reference utils.py:35-39 convert_to_binary_and_invert).  Names in the
+    table with no file present are skipped.  Pass the result to
+    build_specs() and hand those specs to run_extraction(templates=...) —
+    the specs are broadcast once per run like the model."""
+    out: dict[str, np.ndarray] = {}
+    for name, _thr, _act, _en in REFERENCE_TEMPLATE_TABLE:
+        path = os.path.join(patterns_dir, f"{name}.png")
+        if not os.path.exists(path):
+            continue
+        with open(path, "rb") as f:
+            gray = png_to_gray(f.read())
+        out[name] = ((gray <= 127) * 255).astype(np.uint8)
+    return out

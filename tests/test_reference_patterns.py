@@ -1,0 +1,119 @@
+"""Real-artwork interop: the from-scratch PNG decoder (sources/png.py)
+reads the reference's ACTUAL pattern glyphs, and the NCC template path
+consumes them — closing the last 'reference artifact the engine cannot
+run' gap (the environment ships no image library).  No JVM needed."""
+
+import os
+
+import numpy as np
+import pytest
+
+from arabic_ocr_spark.kernel.ncc import match_template_ccoeff_normed, template_match_points
+from arabic_ocr_spark.kernel.reference_templates import (
+    REFERENCE_TEMPLATE_TABLE,
+    build_specs,
+    load_reference_patterns,
+)
+from arabic_ocr_spark.sources.png import decode_png, encode_png_gray, png_to_gray
+
+PATTERNS = "/root/reference/patterns"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(PATTERNS), reason="reference patterns not present"
+)
+
+# (h, w, ink-pixel count) goldens of the decoded+binarized artwork: a wrong
+# scanline unfilter or luma would shred these (the files use Sub/Up/Paeth
+# filters internally)
+EXPECTED = {
+    "ba2": (15, 19, 25),
+    "ba2_end": (18, 18, 32),
+    "dal_end": (12, 10, 19),
+    "fa2": (15, 18, 39),
+    "kaf": (18, 15, 36),
+    "kaf_end": (19, 17, 34),
+    "ra2_end": (14, 10, 18),
+    "sad": (15, 20, 45),
+    "seen_end": (14, 20, 41),
+    "seen_mid": (11, 17, 32),
+    "seen_mid_2": (9, 13, 26),
+    "seen_start": (11, 14, 32),
+    "ya2_end": (15, 12, 23),
+}
+
+
+def test_decoder_roundtrip_and_errors():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (23, 17), dtype=np.uint8)
+    assert (decode_png(encode_png_gray(img)) == img).all()
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png at all")
+
+
+def test_all_reference_patterns_decode_to_pinned_bitmaps():
+    imgs = load_reference_patterns(PATTERNS)
+    assert set(imgs) == set(EXPECTED)
+    for name, (h, w, ink) in EXPECTED.items():
+        got = imgs[name]
+        assert got.shape == (h, w), name
+        assert got.dtype == np.uint8 and set(np.unique(got)) <= {0, 255}, name
+        assert int((got > 0).sum()) == ink, name
+
+
+def test_seen_start_glyph_shape_is_recognizable():
+    """Structural sanity beyond counts: the seen-start ligature has its ink
+    concentrated in the lower half (teeth on a baseline), top rows blank —
+    a transposed/garbled decode fails this."""
+    g = load_reference_patterns(PATTERNS)["seen_start"]
+    assert g[:3].sum() == 0  # blank top margin
+    lower = g[g.shape[0] // 2:].sum()
+    assert lower > g.sum() * 0.6
+
+
+def test_build_specs_binds_real_artwork_in_reference_order():
+    specs = build_specs(load_reference_patterns(PATTERNS))
+    enabled = [r for r in REFERENCE_TEMPLATE_TABLE if r[3]]
+    assert [s.name for s in specs] == [r[0] for r in enabled]
+    assert all(s.image.dtype == np.uint8 and s.image.any() for s in specs)
+
+
+def test_real_templates_self_match_at_their_thresholds():
+    """Each enabled template planted in a larger canvas must be found by
+    the kernel's TM_CCOEFF_NORMED at the reference's own threshold, at the
+    planted position, with peak ~1.0."""
+    specs = build_specs(load_reference_patterns(PATTERNS))
+    for spec in specs:
+        th, tw = spec.image.shape
+        canvas = np.zeros((th + 8, tw + 12), dtype=np.uint8)
+        canvas[5:5 + th, 7:7 + tw] = spec.image
+        res = match_template_ccoeff_normed(canvas, spec.image)
+        peak = float(res.max())
+        assert peak >= spec.threshold, (spec.name, peak)
+        assert peak == pytest.approx(1.0, abs=1e-6), spec.name
+        points, width = template_match_points(canvas, spec.image, spec.threshold)
+        assert width == tw
+        # the reference's run-dedup keeps the FIRST above-threshold x of a
+        # run; low-threshold glyphs with a blank leading column also cross
+        # one pixel left of the plant, so the reported point may be 6
+        assert points and min(abs(p - 7) for p in points) <= 1, (spec.name, points)
+
+
+def test_real_seen_start_suppresses_its_own_teeth_cuts():
+    """The reason the reference ships these templates, demonstrated with
+    its GENUINE artwork: the seen-start ligature's three teeth over-segment
+    into per-tooth cuts without suppression; with the real template bound
+    through the reference's threshold table, the whiten action removes the
+    internal cuts and the ligature survives as one segment."""
+    from arabic_ocr_spark.kernel.segmentation import contour_seg
+
+    imgs = load_reference_patterns(PATTERNS)
+    g = imgs["seen_start"]
+    canvas = np.zeros((g.shape[0] + 6, g.shape[1] + 12), dtype=np.uint8)
+    canvas[3:3 + g.shape[0], 6:6 + g.shape[1]] = g
+    baseline = 3 + 8  # the ligature's base-stroke row inside the canvas
+
+    base = contour_seg(canvas, baseline)
+    withs = contour_seg(canvas, baseline, build_specs(imgs))
+    internal = lambda cs: [c for c in cs if isinstance(c, int) and 6 < c < 6 + g.shape[1]]  # noqa: E731
+    assert len(internal(base)) >= 2  # teeth over-segment without templates
+    assert internal(withs) == []  # real artwork whitens every internal cut
