@@ -117,3 +117,76 @@ def test_real_seen_start_suppresses_its_own_teeth_cuts():
     internal = lambda cs: [c for c in cs if isinstance(c, int) and 6 < c < 6 + g.shape[1]]  # noqa: E731
     assert len(internal(base)) >= 2  # teeth over-segment without templates
     assert internal(withs) == []  # real artwork whitens every internal cut
+
+
+REAL_PAGE = "/root/reference/Figure/capr6.png"
+REAL_MODEL = "/root/reference/config_map.json"
+
+
+@pytest.mark.skipif(not os.path.exists(REAL_PAGE), reason="real page scan absent")
+def test_real_arabic_page_scan_extracts_end_to_end():
+    """THE parity artifact: the reference's own scanned Arabic page (the
+    corpus sibling of the capr4/csep1622 ground-truth texts), decoded by
+    the from-scratch PNG reader and extracted with the reference's own
+    trained model and pattern artwork — every stage real.  The pipeline is
+    deterministic for fixed inputs, so the goldens are exact: 18 lines,
+    356 words, and 47 extracted words appearing verbatim in the
+    sibling pages' vocabulary (different pages of the same book — full
+    ground truth for THIS page does not ship with the reference)."""
+    from arabic_ocr_spark.kernel.classifier import CharModel
+    from arabic_ocr_spark.kernel.pipeline import extract_page
+
+    model = CharModel.load(REAL_MODEL)
+    specs = build_specs(load_reference_patterns(PATTERNS))
+    page = decode_png(open(REAL_PAGE, "rb").read())
+    assert page.shape == (638, 693)
+
+    res = extract_page(page, model, templates=specs)
+    assert res.ok and res.n_lines == 18 and res.n_words == 356
+    words = res.text.split()
+    arabic = sum(1 for ch in res.text if "؀" <= ch <= "ۿ")
+    assert arabic > 0.9 * sum(1 for ch in res.text if not ch.isspace())
+    gt = set()
+    for f in ("capr4.txt", "csep1622.txt"):
+        gt |= set(open(f"/root/reference/inputs_text/{f}", encoding="utf-8").read().split())
+    assert sum(1 for w in words if w in gt) == 47
+
+
+@pytest.mark.skipif(not os.path.exists(REAL_PAGE), reason="real page scan absent")
+def test_inverted_illustration_fails_gracefully():
+    """deskew.png is a white-on-black POST-processing illustration, not a
+    scan; feeding it in must yield ok=False with a recorded error, never a
+    crash (the kernel's documented all-white/garbage contract)."""
+    from arabic_ocr_spark.kernel.classifier import CharModel
+    from arabic_ocr_spark.kernel.pipeline import extract_page
+
+    page = decode_png(open("/root/reference/Figure/deskew.png", "rb").read())
+    res = extract_page(page, CharModel.load(REAL_MODEL))
+    assert not res.ok and res.err and res.text == ""
+
+
+@pytest.mark.skipif(not os.path.exists(REAL_PAGE), reason="real page scan absent")
+def test_real_scan_through_the_spark_path_equals_serial_kernel(spark):
+    """The north-star shape with REAL data: a transcripts table whose
+    payload is the reference's scanned Arabic page, extracted by the
+    distributed mapInPandas plan with the reference's model and templates
+    broadcast once — output text byte-equal to the serial kernel (the
+    oracle == kernel invariant, on a genuine page)."""
+    from arabic_ocr_spark.job import ExtractionJobConfig, plan_extraction
+    from arabic_ocr_spark.kernel.classifier import CharModel
+    from arabic_ocr_spark.kernel.pipeline import extract_page
+    from arabic_ocr_spark.sources.codec import encode_payload
+
+    model = CharModel.load(REAL_MODEL)
+    specs = build_specs(load_reference_patterns(PATTERNS))
+    page = decode_png(open(REAL_PAGE, "rb").read())
+    serial = extract_page(page, model, templates=specs)
+
+    df = spark.createDataFrame(
+        [("conv_real", 0, encode_payload(page))], "conv_id string, turn_idx int, text string"
+    )
+    cfg = ExtractionJobConfig(num_chunks=2, salt_buckets=1, model_path=REAL_MODEL)
+    rows = plan_extraction(spark, df, cfg, model=model, templates=specs).collect()
+    assert len(rows) == 1 and rows[0]["ok"]
+    assert rows[0]["extracted_text"] == serial.text
+    assert rows[0]["n_lines"] == 18 and rows[0]["n_words"] == 356
