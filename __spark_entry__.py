@@ -3,8 +3,12 @@
 - ``entry(spark)``: flagship extraction over a deterministic transcripts
   table synthesized next to sf0.001 (pool-rendered glyph payloads).
 - ``queries()``: one entry per implemented operator (SURVEY.md §2 + the
-  training-data pipeline operators).  Extraction/OCR queries are
-  non-SQL-expressible -> rows-only; everything else has a DuckDB oracle.
+  training-data pipeline operators).  Rows-only (no oracle) is exactly the
+  irreducible five — the OCR-kernel trio (not SQL-expressible; gated by
+  per-turn equality vs the serial kernel) and the IVF pair (trained
+  quantizer + the recall row built on it); every other query, including
+  both LSH candidate stages, the full LSH top-k, and the LSH recall
+  number itself, has a DuckDB value-parity oracle.
 - ``oracle_sql()``: ANSI-SQL twins, value-identical by construction
   (portable primitives only: md5, regexp on explicit classes, list
   comprehensions, round-to-fixed-decimals).
